@@ -1,0 +1,399 @@
+"""Model/State containers: structure-of-arrays articulated-body description.
+
+This replaces the reference's Skeleton/BodyNode/Joint object graph
+(dart/dynamics/Skeleton.cpp, BodyNode.cpp, Joint hierarchy — SURVEY.md §2.1)
+with a single pytree: static topology (hashable python tuples, baked into the
+jitted program) + differentiable parameter arrays (pytree leaves, so gradients
+w.r.t. mass/COM/inertia — the reference's WithRespectToMass capability — come
+for free from AD).
+
+A `Model` describes ONE robot/world archetype; thousands of simulation
+instances share it via `vmap` over `State`. Heterogeneous scenes are separate
+Models (bucketing), mirroring the "one jitted program per topology" design.
+
+Conventions: body 0..nbody-1 in topological order (parent[i] < i); the world
+is parent -1. Each body is connected to its parent by exactly one joint; the
+child body frame coincides with the joint's successor frame (URDF convention).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+class JointType:
+    """Static joint-type ids. Parity: the reference's Joint class hierarchy
+    (RevoluteJoint, PrismaticJoint, ScrewJoint, UniversalJoint, BallJoint,
+    EulerJoint, TranslationalJoint, TranslationalJoint2D, PlanarJoint,
+    FreeJoint, WeldJoint — dart/dynamics/*Joint.cpp)."""
+
+    WELD = 0
+    REVOLUTE = 1
+    PRISMATIC = 2
+    SCREW = 3
+    UNIVERSAL = 4
+    BALL = 5
+    EULER = 6
+    TRANSLATIONAL = 7
+    TRANSLATIONAL2D = 8
+    PLANAR = 9
+    FREE = 10
+
+    # (nq, nv) per type
+    DOF = {
+        WELD: (0, 0),
+        REVOLUTE: (1, 1),
+        PRISMATIC: (1, 1),
+        SCREW: (1, 1),
+        UNIVERSAL: (2, 2),
+        BALL: (4, 3),
+        EULER: (3, 3),
+        TRANSLATIONAL: (3, 3),
+        TRANSLATIONAL2D: (2, 2),
+        PLANAR: (3, 3),
+        FREE: (7, 6),
+    }
+
+
+class GeomType:
+    """Collision/visual geometry primitives. Parity: dart/dynamics/*Shape.cpp
+    (BoxShape, SphereShape, CapsuleShape, CylinderShape, EllipsoidShape,
+    PlaneShape, MeshShape -> convex approximation)."""
+
+    SPHERE = 0
+    BOX = 1
+    CAPSULE = 2
+    PLANE = 3  # static half-space: normal z in geom frame, passes through origin
+    CYLINDER = 4
+    ELLIPSOID = 5
+
+
+@struct.dataclass
+class Model:
+    # ---- static topology (hashable; part of the jit cache key) ----
+    parent: tuple = struct.field(pytree_node=False)  # (nbody,) parent body, -1 = world
+    jtype: tuple = struct.field(pytree_node=False)  # (nbody,) JointType per body
+    q_off: tuple = struct.field(pytree_node=False)  # (nbody,) start of body's q slice
+    v_off: tuple = struct.field(pytree_node=False)  # (nbody,) start of body's v slice
+    nq: int = struct.field(pytree_node=False)
+    nv: int = struct.field(pytree_node=False)
+    # geoms: static descriptors; per-geom params live in geom_params leaf
+    geom_body: tuple = struct.field(pytree_node=False)  # (ngeom,) owning body (-1 = world)
+    geom_type: tuple = struct.field(pytree_node=False)  # (ngeom,) GeomType
+    # collision pair list (static): indices into geoms
+    col_pairs: tuple = struct.field(pytree_node=False)  # ((g1, g2), ...)
+
+    # ---- differentiable parameters (pytree leaves) ----
+    # fixed transform: parent body frame -> joint predecessor frame
+    X_rot: jnp.ndarray = None  # (nbody, 3, 3)
+    X_pos: jnp.ndarray = None  # (nbody, 3)
+    axis: jnp.ndarray = None  # (nbody, 3) primary joint axis (child frame)
+    axis2: jnp.ndarray = None  # (nbody, 3) secondary axis (universal/planar/2d)
+    screw_pitch: jnp.ndarray = None  # (nbody,)
+    mass: jnp.ndarray = None  # (nbody,)
+    com: jnp.ndarray = None  # (nbody, 3) COM in body frame
+    inertia: jnp.ndarray = None  # (nbody, 3, 3) rotational inertia about COM
+    damping: jnp.ndarray = None  # (nv,)
+    armature: jnp.ndarray = None  # (nv,) reflected rotor inertia added to M diag
+    spring_stiff: jnp.ndarray = None  # (nv,)
+    q_rest: jnp.ndarray = None  # (nv,) spring rest position (tangent coords)
+    q_lo: jnp.ndarray = None  # (nv,) joint position lower limit (tangent coords)
+    q_hi: jnp.ndarray = None  # (nv,)
+    gravity: jnp.ndarray = None  # (3,)
+    dt: jnp.ndarray = None  # () timestep
+    # geometry parameters: (ngeom, 3) size params  +  local pose
+    geom_size: jnp.ndarray = None  # sphere: (r,-,-); box: half-extents; capsule: (r, half_len,-)
+    geom_rot: jnp.ndarray = None  # (ngeom, 3, 3) geom frame in body frame
+    geom_pos: jnp.ndarray = None  # (ngeom, 3)
+    geom_friction: jnp.ndarray = None  # (ngeom,) friction coefficient
+    geom_restitution: jnp.ndarray = None  # (ngeom,)
+
+    # ---- contact solver configuration (static) ----
+    contact_iters: int = struct.field(pytree_node=False, default=30)
+    contact_cfm: float = struct.field(pytree_node=False, default=1e-6)
+    baumgarte_erp: float = struct.field(pytree_node=False, default=0.2)
+    limit_iters_extra: int = struct.field(pytree_node=False, default=0)
+    enable_joint_limits: bool = struct.field(pytree_node=False, default=True)
+    # static: does any dof have a finite limit? (decided at build time so the
+    # jitted step's structure doesn't depend on traced values)
+    has_joint_limits: bool = struct.field(pytree_node=False, default=False)
+
+    @property
+    def nbody(self) -> int:
+        return len(self.parent)
+
+    @property
+    def ngeom(self) -> int:
+        return len(self.geom_body)
+
+    def body_nq(self, i: int) -> int:
+        return JointType.DOF[self.jtype[i]][0]
+
+    def body_nv(self, i: int) -> int:
+        return JointType.DOF[self.jtype[i]][1]
+
+    @property
+    def dof_body(self) -> tuple:
+        """(nv,) owning body index per velocity dof (static)."""
+        out = []
+        for i in range(self.nbody):
+            out += [i] * self.body_nv(i)
+        return tuple(out)
+
+    @property
+    def ancestor_mask(self) -> np.ndarray:
+        """(nbody, nv) float mask: mask[b, j] = 1 iff dof j is on the kinematic
+        path from the world to body b. Static — computed from topology."""
+        mask = np.zeros((self.nbody, self.nv), dtype=np.float64)
+        for b in range(self.nbody):
+            a = b
+            while a >= 0:
+                lo, n = self.v_off[a], self.body_nv(a)
+                mask[b, lo : lo + n] = 1.0
+                a = self.parent[a]
+        return mask
+
+    @property
+    def quat_dof_mask(self) -> np.ndarray:
+        """(nq,) bool: True for q entries that are quaternion components."""
+        m = np.zeros(self.nq, dtype=bool)
+        for i in range(self.nbody):
+            if self.jtype[i] in (JointType.BALL, JointType.FREE):
+                m[self.q_off[i] : self.q_off[i] + 4] = True
+        return m
+
+    def neutral_q(self, dtype=jnp.float64) -> jnp.ndarray:
+        q = np.zeros(self.nq)
+        for i in range(self.nbody):
+            if self.jtype[i] in (JointType.BALL, JointType.FREE):
+                q[self.q_off[i]] = 1.0  # quaternion w
+        return jnp.asarray(q, dtype=dtype)
+
+
+@struct.dataclass
+class State:
+    """Simulation state: an immutable pytree (the reference's RestorableSnapshot
+    becomes trivial — states are values)."""
+
+    q: jnp.ndarray  # (nq,) generalized positions (quaternions for ball/free)
+    v: jnp.ndarray  # (nv,) generalized velocities
+    t: jnp.ndarray = None  # () time
+
+
+def make_state(model: Model, q=None, v=None, dtype=None) -> State:
+    if dtype is None:
+        dtype = model.mass.dtype if q is None else jnp.asarray(q).dtype
+    if q is None:
+        q = model.neutral_q(dtype)
+    if v is None:
+        v = jnp.zeros(model.nv, dtype=dtype)
+    return State(q=jnp.asarray(q, dtype), v=jnp.asarray(v, dtype), t=jnp.zeros((), dtype))
+
+
+# ---------------------------------------------------------------------------
+# Builder (the analogue of programmatic Skeleton assembly / TestHelpers.hpp)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class _Body:
+    parent: int
+    jtype: int
+    X_rot: Any
+    X_pos: Any
+    axis: Any
+    axis2: Any
+    screw_pitch: float
+    mass: float
+    com: Any
+    inertia: Any
+    damping: float
+    armature: float
+    spring_stiff: float
+    q_rest: float
+    q_lo: float
+    q_hi: float
+    name: str
+
+
+@dataclasses.dataclass
+class _Geom:
+    body: int
+    gtype: int
+    size: Any
+    rot: Any
+    pos: Any
+    friction: float
+    restitution: float
+
+
+class ModelBuilder:
+    """Programmatic model construction — the TPU-native counterpart of building
+    a dart::dynamics::Skeleton body-by-body (see reference TestHelpers.hpp
+    createTwoLinkRobot and DartLoader output)."""
+
+    def __init__(self, gravity=(0.0, 0.0, -9.81), dt=1e-3):
+        self.bodies: list[_Body] = []
+        self.geoms: list[_Geom] = []
+        self.gravity = gravity
+        self.dt = dt
+        self._names: dict[str, int] = {}
+        self.collision_filter: set = set()  # extra excluded geom pairs
+
+    def add_body(
+        self,
+        parent: int = -1,
+        jtype: int = JointType.REVOLUTE,
+        X_rot=None,
+        X_pos=(0.0, 0.0, 0.0),
+        axis=(0.0, 0.0, 1.0),
+        axis2=(0.0, 1.0, 0.0),
+        screw_pitch: float = 0.0,
+        mass: float = 1.0,
+        com=(0.0, 0.0, 0.0),
+        inertia=None,
+        damping: float = 0.0,
+        armature: float = 0.0,
+        spring_stiff: float = 0.0,
+        q_rest: float = 0.0,
+        q_lo: float = -1e9,
+        q_hi: float = 1e9,
+        name: str | None = None,
+    ) -> int:
+        idx = len(self.bodies)
+        if parent >= idx:
+            raise ValueError("bodies must be added in topological order (parent < child)")
+        if inertia is None:
+            inertia = np.eye(3) * 0.1 * mass
+        if X_rot is None:
+            X_rot = np.eye(3)
+        name = name or f"body{idx}"
+        self.bodies.append(
+            _Body(parent, jtype, np.asarray(X_rot, np.float64), np.asarray(X_pos, np.float64),
+                  np.asarray(axis, np.float64), np.asarray(axis2, np.float64), screw_pitch,
+                  mass, np.asarray(com, np.float64), np.asarray(inertia, np.float64),
+                  damping, armature, spring_stiff, q_rest, q_lo, q_hi, name)
+        )
+        self._names[name] = idx
+        return idx
+
+    def add_geom(
+        self,
+        body: int,
+        gtype: int,
+        size=(0.1, 0.0, 0.0),
+        rot=None,
+        pos=(0.0, 0.0, 0.0),
+        friction: float = 0.8,
+        restitution: float = 0.0,
+    ) -> int:
+        if rot is None:
+            rot = np.eye(3)
+        self.geoms.append(
+            _Geom(body, gtype, np.asarray(size, np.float64), np.asarray(rot, np.float64),
+                  np.asarray(pos, np.float64), friction, restitution)
+        )
+        return len(self.geoms) - 1
+
+    def exclude_pair(self, g1: int, g2: int):
+        self.collision_filter.add((min(g1, g2), max(g1, g2)))
+
+    def body_index(self, name: str) -> int:
+        return self._names[name]
+
+    def _default_pairs(self) -> tuple:
+        """All geom pairs except same-body, parent-child adjacent bodies, and
+        explicitly filtered pairs (mirrors ConstraintSolver's default
+        self-collision filtering in the reference)."""
+        pairs = []
+        for a in range(len(self.geoms)):
+            for b in range(a + 1, len(self.geoms)):
+                ba, bb = self.geoms[a].body, self.geoms[b].body
+                if ba == bb:
+                    continue
+                if ba >= 0 and bb >= 0 and (self.bodies[ba].parent == bb or self.bodies[bb].parent == ba):
+                    continue
+                if ba < 0 and bb < 0:
+                    continue
+                if (a, b) in self.collision_filter:
+                    continue
+                # planes only collide as the first ("static") member
+                ta, tb = self.geoms[a].gtype, self.geoms[b].gtype
+                if ta == GeomType.PLANE and tb == GeomType.PLANE:
+                    continue
+                pairs.append((a, b))
+        return tuple(pairs)
+
+    def finalize(self, dtype=None) -> Model:
+        if dtype is None:
+            # canonical float: f64 when jax_enable_x64 is on, else f32
+            dtype = jnp.zeros(0).dtype
+        nb = len(self.bodies)
+        q_off, v_off = [], []
+        nq = nv = 0
+        for b in self.bodies:
+            q_off.append(nq)
+            v_off.append(nv)
+            dq, dv = JointType.DOF[b.jtype]
+            nq += dq
+            nv += dv
+        # per-dof arrays
+        damping = np.zeros(nv)
+        armature = np.zeros(nv)
+        spring = np.zeros(nv)
+        q_rest = np.zeros(nv)
+        q_lo = np.full(nv, -1e9)
+        q_hi = np.full(nv, 1e9)
+        for i, b in enumerate(self.bodies):
+            lo, n = v_off[i], JointType.DOF[b.jtype][1]
+            damping[lo : lo + n] = b.damping
+            armature[lo : lo + n] = b.armature
+            spring[lo : lo + n] = b.spring_stiff
+            q_rest[lo : lo + n] = b.q_rest
+            q_lo[lo : lo + n] = b.q_lo
+            q_hi[lo : lo + n] = b.q_hi
+
+        def stack(attr, default_shape):
+            if nb == 0:
+                return jnp.zeros((0,) + default_shape, dtype)
+            return jnp.asarray(np.stack([getattr(b, attr) for b in self.bodies]), dtype)
+
+        ngeom = len(self.geoms)
+        return Model(
+            parent=tuple(b.parent for b in self.bodies),
+            jtype=tuple(b.jtype for b in self.bodies),
+            q_off=tuple(q_off),
+            v_off=tuple(v_off),
+            nq=nq,
+            nv=nv,
+            geom_body=tuple(g.body for g in self.geoms),
+            geom_type=tuple(g.gtype for g in self.geoms),
+            col_pairs=self._default_pairs(),
+            X_rot=stack("X_rot", (3, 3)),
+            X_pos=stack("X_pos", (3,)),
+            axis=stack("axis", (3,)),
+            axis2=stack("axis2", (3,)),
+            screw_pitch=jnp.asarray(np.array([b.screw_pitch for b in self.bodies]), dtype),
+            mass=jnp.asarray(np.array([b.mass for b in self.bodies]), dtype),
+            com=stack("com", (3,)),
+            inertia=stack("inertia", (3, 3)),
+            damping=jnp.asarray(damping, dtype),
+            armature=jnp.asarray(armature, dtype),
+            spring_stiff=jnp.asarray(spring, dtype),
+            q_rest=jnp.asarray(q_rest, dtype),
+            q_lo=jnp.asarray(q_lo, dtype),
+            q_hi=jnp.asarray(q_hi, dtype),
+            gravity=jnp.asarray(self.gravity, dtype),
+            dt=jnp.asarray(self.dt, dtype),
+            geom_size=jnp.asarray(np.stack([g.size for g in self.geoms]) if ngeom else np.zeros((0, 3)), dtype),
+            geom_rot=jnp.asarray(np.stack([g.rot for g in self.geoms]) if ngeom else np.zeros((0, 3, 3)), dtype),
+            geom_pos=jnp.asarray(np.stack([g.pos for g in self.geoms]) if ngeom else np.zeros((0, 3)), dtype),
+            geom_friction=jnp.asarray(np.array([g.friction for g in self.geoms]), dtype),
+            geom_restitution=jnp.asarray(np.array([g.restitution for g in self.geoms]), dtype),
+            has_joint_limits=bool(np.any(q_lo > -1e8) or np.any(q_hi < 1e8)),
+        )

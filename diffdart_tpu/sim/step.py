@@ -1,0 +1,52 @@
+"""The simulation timestep: a pure function `step(model, state, tau) -> state`.
+
+Capability parity with World::step (dart/simulation/World.cpp — SURVEY.md
+§3.1): semi-implicit Euler — forces -> unconstrained velocity update ->
+constraint impulses (contact + joint limits via boxed LCP) -> position
+integration. Entirely on-device; differentiable end-to-end (AD through
+dynamics/collision, implicit-function-theorem custom_vjp through the LCP).
+
+Single-env; batch with vmap, rollout with lax.scan.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from diffdart_tpu.dynamics import dynamics as D
+from diffdart_tpu.dynamics.model import Model, State
+
+
+def step_unconstrained(model: Model, state: State, tau=None) -> State:
+    """Contact-free semi-implicit Euler step (the reference's World::step with
+    no collisions: forward dynamics + integrateVelocities + integratePositions)."""
+    if tau is None:
+        tau = jnp.zeros(model.nv, dtype=state.q.dtype)
+    dt = model.dt.astype(state.q.dtype)
+    qdd = D.forward_dynamics(model, state.q, state.v, tau)
+    v_new = state.v + dt * qdd
+    q_new = D.integrate_positions(model, state.q, v_new, dt)
+    t = state.t + dt if state.t is not None else None
+    return State(q=q_new, v=v_new, t=t)
+
+
+def step(model: Model, state: State, tau=None) -> State:
+    """Full timestep with contacts and joint limits (falls back to the
+    unconstrained step when the model has no collision pairs or limits)."""
+    has_limits = model.enable_joint_limits and model.has_joint_limits
+    if not model.col_pairs and not has_limits:
+        return step_unconstrained(model, state, tau)
+    from diffdart_tpu.sim.constrained import step_constrained
+
+    return step_constrained(model, state, tau)
+
+
+def rollout(model: Model, state: State, taus) -> tuple[State, State]:
+    """Scan `step` over a (T, nv) control tape; returns (final, trajectory).
+    The reference's per-step Python loop becomes one fused lax.scan."""
+
+    def body(s, tau):
+        s2 = step(model, s, tau)
+        return s2, s2
+
+    return jax.lax.scan(body, state, taus)
