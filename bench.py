@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark harness: batched half-cheetah env-steps/sec (fwd and fwd+grad).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Primary metric (BASELINE.json): env-steps/sec/chip fwd+grad on batched
+half-cheetah; baseline target = 1,000,000 on a v5e-8 (we report per-chip).
+Runs on whatever jax.default_backend() is (TPU under the driver).
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from diffdart_tpu.dynamics.model import State
+    from diffdart_tpu.models.half_cheetah import half_cheetah, cheetah_init_q
+    from diffdart_tpu.sim import rollout
+
+    B = 4096
+    T = 50
+    m = half_cheetah(dt=2e-3)
+    q0 = cheetah_init_q(m)
+    dtype = m.mass.dtype
+    qs = jnp.tile(q0, (B, 1))
+    vs = jnp.zeros((B, m.nv), dtype)
+    batch = State(q=qs, v=vs, t=jnp.zeros(B, dtype))
+    key = jax.random.PRNGKey(0)
+    taus = 0.1 * jax.random.normal(key, (T, B, m.nv), dtype)
+
+    roll = jax.jit(jax.vmap(lambda s, t: rollout(m, s, t), in_axes=(0, 1)))
+
+    from diffdart_tpu.sim import step
+
+    def remat_rollout(s, taus_env):
+        """Per-step remat: the BPTT memory trick (SURVEY.md §5 knot-point
+        analogue) — backward recomputes each step instead of storing the
+        whole contact solve's intermediates for T*B steps."""
+        body = jax.checkpoint(lambda s_, tau: (step(m, s_, tau), None))
+        final, _ = jax.lax.scan(body, s, taus_env)
+        return final
+
+    def loss(taus):
+        final = jax.vmap(remat_rollout, in_axes=(0, 1))(batch, taus)
+        return jnp.mean(final.q[:, 1] ** 2) + 1e-4 * jnp.mean(taus**2)
+
+    grad = jax.jit(jax.grad(loss))
+
+    # warmup / compile
+    f, _ = roll(batch, taus)
+    f.q.block_until_ready()
+    g = grad(taus)
+    g.block_until_ready()
+
+    def timeit(fn, out_extract, iters=5):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        out_extract(out).block_until_ready()
+        return (time.perf_counter() - t0) / iters
+
+    t_fwd = timeit(lambda: roll(batch, taus), lambda o: o[0].q)
+    t_grad = timeit(lambda: grad(taus), lambda o: o)
+
+    sps_fwd = B * T / t_fwd
+    sps_grad = B * T / t_grad
+
+    result = {
+        "metric": "halfcheetah env-steps/sec/chip (fwd+grad, B=4096)",
+        "value": round(sps_grad),
+        "unit": "env-steps/sec",
+        "vs_baseline": round(sps_grad / 1_000_000.0, 4),
+        "extra": {
+            "fwd_env_steps_per_sec": round(sps_fwd),
+            "backend": jax.default_backend(),
+            "batch": B,
+            "horizon": T,
+            "nv": m.nv,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

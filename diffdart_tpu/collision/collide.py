@@ -1,0 +1,126 @@
+"""World collision: static pair list -> fixed-size contact buffers.
+
+Capability parity with CollisionDetector::collide + CollisionResult
+(dart/collision/*.cpp — SURVEY.md §2.1 "Collision core"), redesigned around
+static shapes: the pair list and per-pair slot counts are decided at build
+time (model.col_pairs), so the jitted program sees fixed-size contact arrays
+with validity masks — no dynamic islands, no result objects.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from diffdart_tpu.collision import narrowphase as NP
+from diffdart_tpu.dynamics.model import GeomType, Model
+from diffdart_tpu.math.lie import tf_compose
+
+_G = GeomType
+
+# (typeA, typeB) -> (fn, n_slots, swap)  — canonical order; swapped pairs flip
+# the normal, since fn's convention is "normal pushes A away from B".
+_DISPATCH = {
+    (_G.SPHERE, _G.SPHERE): (NP.sphere_sphere, 1),
+    (_G.SPHERE, _G.PLANE): (NP.sphere_plane, 1),
+    (_G.SPHERE, _G.BOX): (NP.sphere_box, 1),
+    (_G.SPHERE, _G.CAPSULE): (NP.sphere_capsule, 1),
+    (_G.CAPSULE, _G.PLANE): (NP.capsule_plane, 2),
+    (_G.CAPSULE, _G.CAPSULE): (NP.capsule_capsule, 1),
+    (_G.CAPSULE, _G.BOX): (NP.capsule_box, 3),
+    (_G.BOX, _G.PLANE): (NP.box_plane, 8),
+    (_G.BOX, _G.BOX): (NP.box_box, 8),
+}
+
+
+class Contacts(NamedTuple):
+    """Fixed-size contact set for one env. Static per-slot metadata (body
+    indices) lives in parallel numpy arrays via `contact_slots(model)`."""
+
+    pos: jnp.ndarray  # (nc, 3) world contact point
+    normal: jnp.ndarray  # (nc, 3) world normal, pushes body_a away from body_b
+    depth: jnp.ndarray  # (nc,) penetration depth (>0 = penetrating)
+    valid: jnp.ndarray  # (nc,) bool
+    friction: jnp.ndarray  # (nc,)
+    restitution: jnp.ndarray  # (nc,)
+
+
+def _pair_plan(model: Model):
+    """Static narrowphase plan: per pair -> (fn, slots, ga, gb, swapped)."""
+    plan = []
+    for (a, b) in model.col_pairs:
+        ta, tb = model.geom_type[a], model.geom_type[b]
+        if (ta, tb) in _DISPATCH:
+            fn, k = _DISPATCH[(ta, tb)]
+            plan.append((fn, k, a, b, False))
+        elif (tb, ta) in _DISPATCH:
+            fn, k = _DISPATCH[(tb, ta)]
+            plan.append((fn, k, b, a, True))
+        else:
+            raise NotImplementedError(f"no narrowphase for geom types ({ta},{tb})")
+    return plan
+
+
+def max_contacts(model: Model) -> int:
+    return sum(k for (_, k, *_rest) in _pair_plan(model))
+
+
+def contact_slots(model: Model):
+    """Static per-slot metadata: (body_a, body_b) tuples of len max_contacts.
+    body_a is the body pushed along +normal."""
+    body_a, body_b = [], []
+    for (fn, k, ga, gb, swapped) in _pair_plan(model):
+        a_body = model.geom_body[ga]
+        b_body = model.geom_body[gb]
+        body_a += [a_body] * k
+        body_b += [b_body] * k
+    return tuple(body_a), tuple(body_b)
+
+
+def geom_world_poses(model: Model, R_body, p_body):
+    """World pose of each geom: body pose ∘ local geom pose; world geoms
+    (body -1) use their local pose directly."""
+    Rs, ps = [], []
+    for g in range(model.ngeom):
+        b = model.geom_body[g]
+        if b < 0:
+            Rs.append(model.geom_rot[g])
+            ps.append(model.geom_pos[g])
+        else:
+            R, p = tf_compose(R_body[b], p_body[b], model.geom_rot[g], model.geom_pos[g])
+            Rs.append(R)
+            ps.append(p)
+    return Rs, ps
+
+
+def collide_world(model: Model, R_body, p_body) -> Contacts:
+    """Run every static pair's narrowphase; concatenate into fixed buffers.
+
+    The swapped flag flips normals so that slot convention is always
+    'normal pushes body_a away from body_b'."""
+    Rg, pg = geom_world_poses(model, R_body, p_body)
+    pos_l, n_l, d_l, v_l, fr_l, re_l = [], [], [], [], [], []
+    for (fn, k, ga, gb, swapped) in _pair_plan(model):
+        pos, n, depth, valid = fn(Rg[ga], pg[ga], model.geom_size[ga], Rg[gb], pg[gb], model.geom_size[gb])
+        pos_l.append(pos)
+        n_l.append(n)
+        d_l.append(depth)
+        v_l.append(valid)
+        # combine: friction = min (ContactConstraint parity), restitution = product
+        fr = jnp.minimum(model.geom_friction[ga], model.geom_friction[gb])
+        re = model.geom_restitution[ga] * model.geom_restitution[gb]
+        fr_l.append(jnp.broadcast_to(fr, (k,)))
+        re_l.append(jnp.broadcast_to(re, (k,)))
+    if not pos_l:
+        z3 = jnp.zeros((0, 3), model.mass.dtype)
+        z = jnp.zeros((0,), model.mass.dtype)
+        return Contacts(z3, z3, z, jnp.zeros((0,), bool), z, z)
+    return Contacts(
+        pos=jnp.concatenate(pos_l),
+        normal=jnp.concatenate(n_l),
+        depth=jnp.concatenate(d_l),
+        valid=jnp.concatenate(v_l),
+        friction=jnp.concatenate(fr_l),
+        restitution=jnp.concatenate(re_l),
+    )

@@ -1,0 +1,169 @@
+"""Constraint assembly: contacts + joint limits -> one boxed LCP.
+
+Capability parity with the reference's ConstraintSolver::solve pipeline
+(dart/constraint/ConstraintSolver.cpp, ContactConstraint.cpp [friction basis
+anchor getTangentBasisMatrixODE], JointLimitConstraint.cpp — SURVEY.md §2.1),
+redesigned: no islanding/ConstrainedGroups (vmap over envs amortizes the full
+fixed-size system), no per-constraint impulse tests (A = J M^-1 J^T computed
+as dense batched matmuls on the MXU).
+
+Row layout (static):
+  [ nc normal rows | nc tangent-1 rows | nc tangent-2 rows | 2*nlim limit rows ]
+fidx couples each tangent row to its normal row.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from diffdart_tpu.collision import Contacts
+from diffdart_tpu.collision.collide import contact_slots
+from diffdart_tpu.dynamics.model import Model
+
+
+class LCPData(NamedTuple):
+    J: jnp.ndarray  # (D, nv) constraint Jacobian
+    A: jnp.ndarray  # (D, D)
+    b: jnp.ndarray  # (D,)
+    lo: jnp.ndarray  # (D,)
+    hi: jnp.ndarray  # (D,)
+    mu: jnp.ndarray  # (D,)
+    fidx: jnp.ndarray  # (D,) int32
+    valid: jnp.ndarray  # (D,) bool
+
+
+def tangent_basis(n):
+    """Deterministic orthonormal (t1, t2) ⊥ n, branchless (the analogue of
+    ContactConstraint::getTangentBasisMatrixODE)."""
+    # pick the world axis least aligned with n
+    ax = jnp.argmin(jnp.abs(n), axis=-1)
+    e = jnp.eye(3, dtype=n.dtype)[ax]
+    t1 = jnp.cross(n, e)
+    t1 = t1 / jnp.linalg.norm(t1, axis=-1, keepdims=True)
+    t2 = jnp.cross(n, t1)
+    return t1, t2
+
+
+def point_jacobian(Sw, mask_a, mask_b, pos):
+    """(nv, 3) Jacobian of the relative velocity of world point `pos` between
+    body a and body b: column j = (maskA_j - maskB_j)(Sw_lin_j + Sw_ang_j x pos)."""
+    lin = Sw[:, 3:] + jnp.cross(Sw[:, :3], pos[None, :])
+    return (mask_a - mask_b)[:, None] * lin
+
+
+def assemble_constraints(
+    model: Model,
+    contacts: Contacts,
+    Sw,
+    mask,
+    Minv,
+    v_star,
+    v_pre,
+    qt,
+    dt,
+) -> LCPData:
+    """Build the boxed LCP over [normals | tangents1 | tangents2 | limits].
+
+    Args:
+      Sw: (nv, 6) world Jacobian columns; mask: (nbody, nv) ancestor mask.
+      Minv: (nv, nv) inverse mass matrix (explicitly formed — nv is small).
+      v_star: unconstrained post-step velocity; v_pre: pre-step velocity
+        (for restitution).
+      qt: (nv,) tangent-space positions (for joint limits).
+    """
+    dtype = v_star.dtype
+    nc = contacts.pos.shape[0]
+    body_a, body_b = contact_slots(model)
+    nlim = len(model.limited_dofs)
+    D = 3 * nc + 2 * nlim
+
+    rows = []
+    # world row for mask lookup: body -1 -> zero mask
+    zero_mask = jnp.zeros(model.nv, dtype)
+
+    def bmask(b):
+        return zero_mask if b < 0 else mask[b]
+
+    # ---- contact rows ----
+    J_n = jnp.zeros((0, model.nv), dtype)
+    if nc:
+        t1, t2 = tangent_basis(contacts.normal)
+        Jp = jnp.stack(
+            [point_jacobian(Sw, bmask(body_a[c]), bmask(body_b[c]), contacts.pos[c]) for c in range(nc)]
+        )  # (nc, nv, 3)
+        J_n = jnp.einsum("cvk,ck->cv", Jp, contacts.normal)
+        J_t1 = jnp.einsum("cvk,ck->cv", Jp, t1)
+        J_t2 = jnp.einsum("cvk,ck->cv", Jp, t2)
+        rows += [J_n, J_t1, J_t2]
+    # ---- joint limit rows (lower then upper per limited dof) ----
+    if nlim:
+        lim = jnp.asarray(np.array(model.limited_dofs), jnp.int32)
+        e = jnp.zeros((nlim, model.nv), dtype).at[jnp.arange(nlim), lim].set(1.0)
+        rows += [e, -e]
+    J = jnp.concatenate(rows, axis=0) if rows else jnp.zeros((0, model.nv), dtype)
+
+    A = J @ Minv @ J.T
+    A = A + model.contact_cfm * jnp.eye(D, dtype=dtype)
+
+    # ---- b / bounds / fidx / validity ----
+    erp_vel_cap = 10.0
+    slop = 1e-5
+    b_parts, lo_parts, hi_parts, mu_parts, fidx_parts, valid_parts = [], [], [], [], [], []
+    inf = jnp.full((nc,), jnp.inf, dtype) if nc else None
+    if nc:
+        v_n_pre = J_n @ v_pre
+        push = jnp.minimum(model.baumgarte_erp * jnp.maximum(contacts.depth - slop, 0.0) / dt, erp_vel_cap)
+        bounce = contacts.restitution * jnp.maximum(-v_n_pre - 0.01, 0.0)
+        target = jnp.maximum(push, bounce)
+        b_n = J_n @ v_star - target
+        b_t1 = rows[1] @ v_star
+        b_t2 = rows[2] @ v_star
+        zero = jnp.zeros((nc,), dtype)
+        b_parts += [b_n, b_t1, b_t2]
+        lo_parts += [zero, zero, zero]  # friction lo/hi come from fidx coupling
+        hi_parts += [inf, zero, zero]
+        mu_parts += [zero, contacts.friction, contacts.friction]
+        fidx_parts += [
+            jnp.full((nc,), -1, jnp.int32),
+            jnp.arange(nc, dtype=jnp.int32),
+            jnp.arange(nc, dtype=jnp.int32),
+        ]
+        valid_parts += [contacts.valid] * 3
+    if nlim:
+        lim = jnp.asarray(np.array(model.limited_dofs), jnp.int32)
+        q_j = qt[lim]
+        v_j = v_pre[lim]
+        lo_lim = model.q_lo[lim]
+        hi_lim = model.q_hi[lim]
+        # lower limit: v_j' >= target_lo; active if violated now or predicted
+        viol_lo = lo_lim - q_j
+        act_lo = (viol_lo > 0) | (lo_lim - (q_j + dt * v_j) > 0)
+        target_lo = jnp.minimum(model.baumgarte_erp * jnp.maximum(viol_lo, 0.0) / dt, erp_vel_cap)
+        b_lo = v_star[lim] - target_lo
+        viol_hi = q_j - hi_lim
+        act_hi = (viol_hi > 0) | ((q_j + dt * v_j) - hi_lim > 0)
+        target_hi = jnp.minimum(model.baumgarte_erp * jnp.maximum(viol_hi, 0.0) / dt, erp_vel_cap)
+        b_hi = -v_star[lim] - target_hi
+        zero = jnp.zeros((nlim,), dtype)
+        infl = jnp.full((nlim,), jnp.inf, dtype)
+        b_parts += [b_lo, b_hi]
+        lo_parts += [zero, zero]
+        hi_parts += [infl, infl]
+        mu_parts += [zero, zero]
+        fidx_parts += [jnp.full((nlim,), -1, jnp.int32)] * 2
+        valid_parts += [act_lo, act_hi]
+
+    b = jnp.concatenate(b_parts) if b_parts else jnp.zeros((0,), dtype)
+    lo = jnp.concatenate(lo_parts) if lo_parts else jnp.zeros((0,), dtype)
+    hi = jnp.concatenate(hi_parts) if hi_parts else jnp.zeros((0,), dtype)
+    mu = jnp.concatenate(mu_parts) if mu_parts else jnp.zeros((0,), dtype)
+    fidx = jnp.concatenate(fidx_parts) if fidx_parts else jnp.zeros((0,), jnp.int32)
+    valid = jnp.concatenate(valid_parts) if valid_parts else jnp.zeros((0,), bool)
+
+    # disable invalid rows: lo = hi = 0 (and sever friction coupling)
+    lo = jnp.where(valid, lo, 0.0)
+    hi = jnp.where(valid, hi, 0.0)
+    mu = jnp.where(valid, mu, 0.0)
+    return LCPData(J=J, A=A, b=b, lo=lo, hi=hi, mu=mu, fidx=fidx, valid=valid)

@@ -88,8 +88,8 @@ def joint_forces(model: Model, q, v):
     """Explicit per-dof joint forces: viscous damping + linear springs
     (Joint::getDampingForces / getSpringForces parity)."""
     f = -model.damping * v
-    has_spring = True
-    f = f - model.spring_stiff * (q_tangent(model, q) - model.q_rest)
+    if model.has_springs:
+        f = f - model.spring_stiff * (q_tangent(model, q) - model.q_rest)
     return f
 
 

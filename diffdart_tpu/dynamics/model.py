@@ -122,6 +122,10 @@ class Model:
     # static: does any dof have a finite limit? (decided at build time so the
     # jitted step's structure doesn't depend on traced values)
     has_joint_limits: bool = struct.field(pytree_node=False, default=False)
+    # static tuple of dof indices that carry finite position limits
+    limited_dofs: tuple = struct.field(pytree_node=False, default=())
+    # static: any nonzero joint springs? (skips tangent projection when not)
+    has_springs: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def nbody(self) -> int:
@@ -396,4 +400,6 @@ class ModelBuilder:
             geom_friction=jnp.asarray(np.array([g.friction for g in self.geoms]), dtype),
             geom_restitution=jnp.asarray(np.array([g.restitution for g in self.geoms]), dtype),
             has_joint_limits=bool(np.any(q_lo > -1e8) or np.any(q_hi < 1e8)),
+            limited_dofs=tuple(int(i) for i in np.nonzero((q_lo > -1e8) | (q_hi < 1e8))[0]),
+            has_springs=bool(np.any(spring != 0.0)),
         )

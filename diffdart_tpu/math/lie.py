@@ -236,13 +236,20 @@ def quat_exp(v):
 
 
 def quat_log(q):
-    """Inverse of quat_exp: unit quaternion -> R^3 axis-angle."""
+    """Inverse of quat_exp: unit quaternion -> R^3 axis-angle.
+
+    NaN-safe gradient at the identity: the small-angle branch is a function of
+    n2 = |xyz|^2 (smooth), never of |xyz| itself."""
     q = jnp.where(q[..., :1] < 0, -q, q)
     w = jnp.clip(q[..., :1], -1.0, 1.0)
     xyz = q[..., 1:]
-    norm = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    n2 = jnp.sum(xyz * xyz, axis=-1, keepdims=True)
+    small = n2 < _EPS
+    norm = jnp.sqrt(jnp.where(small, jnp.ones_like(n2), n2))
     half = jnp.arctan2(norm, w)
-    scale = jnp.where(norm < _EPS, 2.0 / jnp.clip(w, _EPS, None), 2.0 * half / jnp.clip(norm, _EPS, None))
+    w_safe = jnp.maximum(w, 0.5)  # |xyz| tiny => w ~ 1
+    taylor = 2.0 / w_safe - 2.0 * n2 / (3.0 * w_safe**3)
+    scale = jnp.where(small, taylor, 2.0 * half / norm)
     return scale * xyz
 
 

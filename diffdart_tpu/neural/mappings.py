@@ -1,0 +1,76 @@
+"""Coordinate mappings: optimize/backprop in alternate (e.g. task-space)
+coordinates.
+
+Capability parity with dart/neural/Mapping.cpp + IKMapping.cpp +
+MappedBackpropSnapshot.cpp (SURVEY.md §2.2): in JAX, any differentiable
+reparametrization composes with the step for free, so a Mapping is just a
+(map, unmap) pair; IKMapping targets world positions of chosen bodies and
+inverts with damped-least-squares Gauss-Newton on the batched FK.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from diffdart_tpu.dynamics import dynamics as D
+from diffdart_tpu.dynamics import kinematics as K
+from diffdart_tpu.dynamics.model import Model
+
+
+class IdentityMapping:
+    """Trivial mapping (neural::IdentityMapping parity)."""
+
+    def __init__(self, model: Model):
+        self.model = model
+
+    def map_pos(self, q):
+        return q
+
+    def unmap_pos(self, z, q_guess=None):
+        return z
+
+
+class IKMapping:
+    """Task-space mapping: z = world positions of selected body frames
+    (neural::IKMapping parity). `unmap_pos` solves IK by damped Gauss-Newton
+    (JacobianDLS parity — dart/dynamics/InverseKinematics.cpp) on top of the
+    differentiable FK, entirely jittable."""
+
+    def __init__(self, model: Model, bodies, iters: int = 30, damping: float = 1e-4):
+        self.model = model
+        self.bodies = tuple(bodies)
+        self.iters = iters
+        self.damping = damping
+
+    def map_pos(self, q):
+        """(3*len(bodies),) world positions of the selected body origins."""
+        R, p = K.fk(self.model, q)
+        return jnp.concatenate([p[b] for b in self.bodies])
+
+    def map_vel(self, q, v):
+        """Task-space velocity via the point Jacobian."""
+        J = self.jacobian(q)
+        return J @ v
+
+    def jacobian(self, q):
+        """(3*nb, nv) task Jacobian in tangent coordinates."""
+        m = self.model
+
+        def f(dq):
+            q_ = D.integrate_positions(m, q, dq, jnp.asarray(1.0, q.dtype))
+            return self.map_pos(q_)
+
+        return jax.jacfwd(f)(jnp.zeros(m.nv, q.dtype))
+
+    def unmap_pos(self, z, q_guess):
+        """Damped-least-squares IK: find q with map_pos(q) ~ z."""
+        m = self.model
+
+        def body(_, q):
+            err = z - self.map_pos(q)
+            J = self.jacobian(q)
+            H = J @ J.T + self.damping * jnp.eye(J.shape[0], dtype=q.dtype)
+            dq = J.T @ jnp.linalg.solve(H, err)
+            return D.integrate_positions(m, q, dq, jnp.asarray(1.0, q.dtype))
+
+        return jax.lax.fori_loop(0, self.iters, body, q_guess)

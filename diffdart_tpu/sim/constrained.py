@@ -1,0 +1,50 @@
+"""Constrained timestep: collision -> LCP -> impulse -> integrate.
+
+The full World::step pipeline of the reference (SURVEY.md §3.1) as one pure
+differentiable function: gradients flow through dynamics and contact geometry
+by plain AD and through the LCP solve by the IFT custom_vjp in ops/lcp.py —
+replacing the reference's BackpropSnapshot/ConstrainedGroupGradientMatrices
+recorded-impulse machinery (SURVEY.md §2.2) entirely.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from diffdart_tpu.collision import collide_world
+from diffdart_tpu.constraints.assembly import assemble_constraints
+from diffdart_tpu.dynamics import dynamics as D
+from diffdart_tpu.dynamics.model import Model, State
+from diffdart_tpu.ops.lcp import boxed_lcp
+
+
+def step_constrained(model: Model, state: State, tau=None) -> State:
+    q, v = state.q, state.v
+    dtype = q.dtype
+    if tau is None:
+        tau = jnp.zeros(model.nv, dtype)
+    dt = model.dt.astype(dtype)
+
+    cache = D.kinematics_cache(model, q, v)
+    M = D.mass_matrix(model, q, cache)
+    C = D.bias_forces(model, q, v, cache)
+    L = jnp.linalg.cholesky(M)
+    Minv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(model.nv, dtype=dtype))
+
+    # unconstrained end-of-step velocity
+    v_star = v + dt * (Minv @ (tau + D.joint_forces(model, q, v) - C))
+
+    contacts = collide_world(model, cache["R"], cache["p"])
+    qt = D.q_tangent(model, q)
+    lcp = assemble_constraints(
+        model, contacts, cache["Sw"], cache["mask"], Minv, v_star, v, qt, dt
+    )
+    if lcp.A.shape[0] == 0:
+        v_new = v_star
+    else:
+        lam = boxed_lcp(lcp.A, lcp.b, lcp.lo, lcp.hi, lcp.mu, lcp.fidx, model.contact_iters)
+        v_new = v_star + Minv @ (lcp.J.T @ lam)
+
+    q_new = D.integrate_positions(model, q, v_new, dt)
+    t = state.t + dt if state.t is not None else None
+    return State(q=q_new, v=v_new, t=t)

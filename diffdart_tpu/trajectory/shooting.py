@@ -1,0 +1,170 @@
+"""Single / multiple shooting trajectory optimization.
+
+Capability parity with trajectory::Problem / SingleShot / MultiShot +
+SGDOptimizer/IPOptOptimizer (dart/trajectory/*.cpp — SURVEY.md §2.3/§3.3),
+redesigned per the north star: the rollout is a lax.scan over the
+differentiable step; loss+gradient come from jax.value_and_grad of the whole
+trajectory; multiple shooting introduces knot state variables with defect
+constraints handled by an augmented-Lagrangian outer loop; the inner optimizer
+is any optax rule (default adam; the reference's SGDOptimizer is the same
+with optax.sgd). The reference's std::thread fan-out over shooting segments
+(MultiShot::setParallelOperationsEnabled) becomes a vmap over the segment
+axis inside one jitted program.
+
+Gradient checkpointing: jax.checkpoint on the per-segment scan is the direct
+analogue of the reference's knot-point memory trick (SURVEY.md §5
+'Long-context').
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class ShootingResult(NamedTuple):
+    us: jnp.ndarray  # (T, nu)
+    xs: jnp.ndarray  # (T+1, nx) rollout under us
+    cost: jnp.ndarray
+    cost_trace: jnp.ndarray
+    defect_norm: jnp.ndarray  # final multiple-shooting defect (0 for single)
+
+
+def _rollout(f, x0, us, running_cost, terminal_cost, remat_every=0):
+    T = us.shape[0]
+
+    def body(x, tu):
+        t, u = tu
+        c = running_cost(x, u, t)
+        return f(x, u), (x, c)
+
+    body_fn = jax.checkpoint(body) if remat_every else body
+    xT, (xs, cs) = jax.lax.scan(body_fn, x0, (jnp.arange(T), us))
+    xs = jnp.concatenate([xs, xT[None]], axis=0)
+    return xs, jnp.sum(cs) + terminal_cost(xT)
+
+
+def single_shooting(
+    f: Callable,
+    running_cost: Callable,
+    terminal_cost: Callable,
+    x0: jnp.ndarray,
+    us_init: jnp.ndarray,
+    iters: int = 200,
+    optimizer=None,
+    remat: bool = True,
+) -> ShootingResult:
+    """Plain first-order shooting (SingleShot + SGDOptimizer parity)."""
+    opt = optimizer or optax.adam(1e-1)
+
+    def loss(us):
+        _, c = _rollout(f, x0, us, running_cost, terminal_cost, remat_every=1 if remat else 0)
+        return c
+
+    vg = jax.value_and_grad(loss)
+
+    def step_(carry, _):
+        us, opt_state = carry
+        c, g = vg(us)
+        updates, opt_state = opt.update(g, opt_state, us)
+        return (optax.apply_updates(us, updates), opt_state), c
+
+    (us, _), trace = jax.lax.scan(step_, (us_init, opt.init(us_init)), None, length=iters)
+    xs, cost = _rollout(f, x0, us, running_cost, terminal_cost)
+    return ShootingResult(us=us, xs=xs, cost=cost, cost_trace=trace, defect_norm=jnp.zeros(()))
+
+
+class MultipleShooting:
+    """Knot-point shooting (MultiShot parity): decision variables are the
+    control tape plus the state at every segment start; segment rollouts run
+    batched (vmap over segments = the reference's thread fan-out); defects
+    x_knot[k+1] - rollout_end[k] are driven to zero by augmented Lagrangian.
+    """
+
+    def __init__(self, f, running_cost, terminal_cost, T, segment_len, nx, nu):
+        assert T % segment_len == 0, "horizon must divide into segments"
+        self.f = f
+        self.rc = running_cost
+        self.tc = terminal_cost
+        self.T = T
+        self.K = T // segment_len
+        self.S = segment_len
+        self.nx = nx
+        self.nu = nu
+
+    def _segment_rollout(self, x_start, us_seg, t0):
+        def body(x, tu):
+            t, u = tu
+            c = self.rc(x, u, t0 + t)
+            return self.f(x, u), (x, c)
+
+        xT, (xs, cs) = jax.lax.scan(body, x_start, (jnp.arange(self.S), us_seg))
+        return xT, jnp.sum(cs), xs
+
+    def _eval(self, knots, us, x0):
+        """Batched over segments. knots: (K-1, nx) interior knot states."""
+        starts = jnp.concatenate([x0[None], knots], axis=0)  # (K, nx)
+        us_seg = us.reshape(self.K, self.S, self.nu)
+        t0s = jnp.arange(self.K) * self.S
+        ends, costs, _ = jax.vmap(self._segment_rollout)(starts, us_seg, t0s)
+        defects = ends[:-1] - knots  # (K-1, nx)
+        total = jnp.sum(costs) + self.tc(ends[-1])
+        return total, defects, ends
+
+    def solve(
+        self,
+        x0,
+        us_init,
+        outer_iters: int = 8,
+        inner_iters: int = 100,
+        rho0: float = 10.0,
+        rho_growth: float = 4.0,
+        optimizer=None,
+    ) -> ShootingResult:
+        opt = optimizer or optax.adam(5e-2)
+        # initialize knots from the single-shooting rollout
+        xs_init, _ = _rollout(self.f, x0, us_init, self.rc, self.tc)
+        knots0 = xs_init[self.S :: self.S][: self.K - 1]
+
+        def al_loss(params, lam, rho):
+            knots, us = params
+            total, defects, _ = self._eval(knots, us, x0)
+            pen = jnp.sum(lam * defects) + 0.5 * rho * jnp.sum(defects**2)
+            return total + pen
+
+        vg = jax.value_and_grad(al_loss)
+
+        @jax.jit
+        def inner(params, lam, rho):
+            opt_state = opt.init(params)
+
+            def step_(carry, _):
+                p, s = carry
+                c, g = vg(p, lam, rho)
+                updates, s = opt.update(g, s, p)
+                return (optax.apply_updates(p, updates), s), c
+
+            (params2, _), trace = jax.lax.scan(step_, (params, opt_state), None, length=inner_iters)
+            _, defects, _ = self._eval(params2[0], params2[1], x0)
+            return params2, defects, trace
+
+        params = (knots0, us_init)
+        lam = jnp.zeros((self.K - 1, self.nx), x0.dtype)
+        rho = jnp.asarray(rho0, x0.dtype)
+        traces = []
+        for _ in range(outer_iters):
+            params, defects, trace = inner(params, lam, rho)
+            lam = lam + rho * defects
+            rho = rho * rho_growth
+            traces.append(trace)
+        knots, us = params
+        xs, cost = _rollout(self.f, x0, us, self.rc, self.tc)
+        return ShootingResult(
+            us=us,
+            xs=xs,
+            cost=cost,
+            cost_trace=jnp.concatenate(traces),
+            defect_norm=jnp.linalg.norm(defects),
+        )

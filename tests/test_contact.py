@@ -1,0 +1,200 @@
+"""Contact physics: resting, friction, restitution, stacking, and gradients
+through impact — the analogue of the reference's test_Collision.cpp +
+test_Friction.cpp + the contact sections of test_Gradients.cpp (SURVEY.md §4).
+BASELINE.json config 2 ('rigid cube drop/stack, gradient of final pose wrt
+initial velocity') lives here."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffdart_tpu.dynamics.model import GeomType, JointType, ModelBuilder, State, make_state
+from diffdart_tpu.models import cube_drop
+from diffdart_tpu.sim import rollout, step
+
+
+def _roll(m, s, T):
+    return jax.jit(rollout)(m, s, jnp.zeros((T, m.nv)))
+
+
+class TestResting:
+    def test_cube_drop_rests_at_half_extent(self):
+        m = cube_drop(dt=2e-3, half=0.1)
+        s = make_state(m, q=m.neutral_q().at[6].set(0.5))
+        final, _ = _roll(m, s, 600)
+        assert abs(float(final.q[6]) - 0.1) < 2e-3
+        np.testing.assert_allclose(np.asarray(final.v), 0.0, atol=1e-6)
+        # orientation must not drift
+        np.testing.assert_allclose(np.asarray(final.q[:4]), [1, 0, 0, 0], atol=1e-6)
+
+    def test_sphere_rest(self):
+        b = ModelBuilder(dt=2e-3)
+        b.add_geom(-1, GeomType.PLANE)
+        ball = b.add_body(parent=-1, jtype=JointType.FREE, mass=0.5, inertia=np.eye(3) * 2e-3)
+        b.add_geom(ball, GeomType.SPHERE, size=(0.05, 0, 0))
+        m = b.finalize()
+        s = make_state(m, q=m.neutral_q().at[6].set(0.3))
+        final, _ = _roll(m, s, 600)
+        assert abs(float(final.q[6]) - 0.05) < 2e-3
+        np.testing.assert_allclose(np.asarray(final.v), 0.0, atol=1e-6)
+
+    def test_tilted_cube_settles_flat(self):
+        from diffdart_tpu.math.lie import quat_exp
+
+        m = cube_drop(dt=1e-3, half=0.1)
+        q0 = m.neutral_q()
+        q0 = q0.at[:4].set(quat_exp(jnp.array([0.2, 0.1, 0.0]))).at[6].set(0.25)
+        s = make_state(m, q=q0)
+        final, _ = _roll(m, s, 2500)
+        # settles onto a face: rotation becomes one of the 24 box symmetries;
+        # z of every bottom corner ~ 0 => height ~ half extent
+        assert abs(float(final.q[6]) - 0.1) < 5e-3
+        assert float(jnp.linalg.norm(final.v)) < 1e-3
+
+
+class TestFriction:
+    def test_slide_deceleration_rate(self):
+        """Sliding cube decelerates at mu*g (Coulomb)."""
+        mu = 0.3
+        m = cube_drop(dt=1e-3, half=0.1, friction=mu)
+        s = make_state(m, q=m.neutral_q().at[6].set(0.09999), v=jnp.zeros(6).at[3].set(2.0))
+        _, traj = _roll(m, s, 100)
+        vx = np.asarray(traj.v[:, 3])
+        decel = (vx[4] - vx[84]) / (80 * 1e-3)
+        np.testing.assert_allclose(decel, mu * 9.81, rtol=0.02)
+
+    def test_frictionless_slide_keeps_velocity(self):
+        m = cube_drop(dt=1e-3, half=0.1, friction=0.0)
+        s = make_state(m, q=m.neutral_q().at[6].set(0.09999), v=jnp.zeros(6).at[3].set(2.0))
+        final, _ = _roll(m, s, 300)
+        np.testing.assert_allclose(float(final.v[3]), 2.0, rtol=1e-6)
+
+    def test_incline_stick_vs_slip(self):
+        """On a 20-degree incline: mu=0.6 > tan(20deg)=0.36 sticks,
+        mu=0.2 slides."""
+        import math
+
+        from diffdart_tpu.math.lie import exp_so3
+
+        theta = math.radians(20)
+        for mu, should_stick in [(0.6, True), (0.2, False)]:
+            b = ModelBuilder(dt=1e-3)
+            tilt = np.asarray(exp_so3(jnp.array([0.0, theta, 0.0])))
+            b.add_geom(-1, GeomType.PLANE, rot=tilt, friction=mu)
+            cube = b.add_body(parent=-1, jtype=JointType.FREE, mass=1.0,
+                              inertia=np.eye(3) * 6.7e-3)
+            b.add_geom(cube, GeomType.BOX, size=(0.1, 0.1, 0.1), friction=mu)
+            m = b.finalize()
+            q0 = m.neutral_q()
+            q0 = q0.at[:4].set(jnp.asarray(np.r_[np.cos(theta / 2), 0, np.sin(theta / 2), 0]))
+            # place slightly above the tilted plane along its normal
+            n = tilt[:, 2]
+            q0 = q0.at[4:].set(jnp.asarray(n * 0.10001))
+            s = make_state(m, q=q0)
+            final, _ = _roll(m, s, 800)
+            speed = float(jnp.linalg.norm(final.v[3:]))
+            if should_stick:
+                assert speed < 0.02, f"mu={mu} should stick, speed={speed}"
+            else:
+                assert speed > 0.5, f"mu={mu} should slide, speed={speed}"
+
+
+class TestRestitution:
+    def test_bouncing_sphere(self):
+        b = ModelBuilder(dt=5e-4)
+        b.add_geom(-1, GeomType.PLANE, restitution=1.0)
+        ball = b.add_body(parent=-1, jtype=JointType.FREE, mass=0.2, inertia=np.eye(3) * 1e-4)
+        b.add_geom(ball, GeomType.SPHERE, size=(0.05, 0, 0), restitution=0.8)
+        m = b.finalize()
+        s = make_state(m, q=m.neutral_q().at[6].set(0.55))
+        _, traj = _roll(m, s, 2500)
+        z = np.asarray(traj.q[:, 6])
+        # drop 0.5m, bounce apex ~ e^2 * 0.5 + r
+        apex = z[400:1400].max() - 0.05
+        np.testing.assert_allclose(apex, 0.8**2 * 0.5, rtol=0.08)
+
+    def test_inelastic_no_bounce(self):
+        m = cube_drop(dt=1e-3, half=0.1, restitution=0.0)
+        s = make_state(m, q=m.neutral_q().at[6].set(0.3))
+        _, traj = _roll(m, s, 800)
+        z = np.asarray(traj.q[:, 6])
+        touchdown = np.argmax(z <= 0.1 + 1e-6)
+        assert z[touchdown:].max() < 0.105  # no rebound above slop
+
+
+class TestStacking:
+    def test_two_cube_stack_stable(self):
+        """box_box: a stacked pair stays stacked (reference collideBoxBox
+        capability)."""
+        m = cube_drop(dt=1e-3, half=0.1, n_cubes=2, friction=0.8)
+        q0 = m.neutral_q()
+        q0 = q0.at[6].set(0.1).at[7 + 6].set(0.3005)  # cube1 resting, cube2 on top
+        s = make_state(m, q=q0)
+        final, _ = _roll(m, s, 1000)
+        assert abs(float(final.q[6]) - 0.1) < 5e-3
+        assert abs(float(final.q[13]) - 0.3) < 8e-3
+        assert float(jnp.linalg.norm(final.v)) < 5e-3
+
+
+class TestContactGradients:
+    """BASELINE config 2: gradient of final pose wrt initial velocity,
+    FD-verified through impact + friction (test_Gradients.cpp pattern)."""
+
+    def _final_x(self, m, vx, z0=0.3, T=300):
+        s = State(q=m.neutral_q().at[6].set(z0), v=jnp.zeros(6).at[3].set(vx), t=jnp.zeros(()))
+        final, _ = rollout(m, s, jnp.zeros((T, 6)))
+        return final.q[4]
+
+    def test_grad_final_pose_wrt_initial_velocity(self):
+        m = cube_drop(dt=2e-3, half=0.1, friction=0.5)
+        f = lambda vx: self._final_x(m, vx)
+        g = jax.grad(f)(1.0)
+        eps = 1e-5
+        fd = (f(1.0 + eps) - f(1.0 - eps)) / (2 * eps)
+        np.testing.assert_allclose(float(g), float(fd), rtol=1e-5)
+
+    def test_grad_wrt_friction_coefficient(self):
+        m = cube_drop(dt=2e-3, half=0.1, friction=0.5)
+
+        def f(mu):
+            mm = m.replace(geom_friction=jnp.full_like(m.geom_friction, mu))
+            s = State(q=mm.neutral_q().at[6].set(0.15), v=jnp.zeros(6).at[3].set(2.0), t=jnp.zeros(()))
+            final, _ = rollout(mm, s, jnp.zeros((250, 6)))
+            return final.q[4]
+
+        g = jax.grad(f)(0.4)
+        eps = 1e-6
+        fd = (f(0.4 + eps) - f(0.4 - eps)) / (2 * eps)
+        np.testing.assert_allclose(float(g), float(fd), rtol=1e-3)
+        assert float(g) < 0  # more friction => less travel
+
+    def test_grad_wrt_mass(self):
+        """WithRespectTo::GROUP_MASSES capability: gradients w.r.t. inertial
+        params flow through contact for free."""
+        m = cube_drop(dt=2e-3, half=0.1, friction=0.5)
+
+        def f(mass):
+            mm = m.replace(mass=jnp.full_like(m.mass, mass))
+            s = State(q=mm.neutral_q().at[6].set(0.15), v=jnp.zeros(6).at[3].set(2.0), t=jnp.zeros(()))
+            final, _ = rollout(mm, s, jnp.zeros((250, 6)))
+            return final.q[4]
+
+        g = jax.grad(f)(1.0)
+        fd = (f(1.0 + 1e-5) - f(1.0 - 1e-5)) / (2e-5)
+        np.testing.assert_allclose(float(g), float(fd), rtol=1e-3, atol=1e-8)
+
+
+class TestBatchedContact:
+    def test_vmap_invariance_with_contacts(self):
+        m = cube_drop(dt=2e-3, half=0.1)
+        zs = jnp.array([0.3, 0.15, 0.11, 0.5])
+        qs = jnp.stack([m.neutral_q().at[6].set(z) for z in zs])
+        vs = jnp.zeros((4, 6)).at[:, 3].set(jnp.array([1.0, -0.5, 0.0, 2.0]))
+        batch = State(q=qs, v=vs, t=jnp.zeros(4))
+        stepb = jax.jit(jax.vmap(lambda s: step(m, s)))
+        out = stepb(batch)
+        for i in range(4):
+            s_i = State(q=qs[i], v=vs[i], t=jnp.zeros(()))
+            out_i = step(m, s_i)
+            np.testing.assert_array_equal(np.asarray(out.q[i]), np.asarray(out_i.q))
+            np.testing.assert_array_equal(np.asarray(out.v[i]), np.asarray(out_i.v))
