@@ -9,9 +9,17 @@ half-cheetah; baseline target = 1,000,000 on a v5e-8 (we report per-chip).
 Runs on whatever jax.default_backend() is (TPU under the driver).
 """
 import json
+import os
 import time
 
 import jax
+
+# persistent compile cache: the constrained-rollout grad program is expensive
+# to compile on the remote-compile tunnel; cache it across runs
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 import jax.numpy as jnp
 
 

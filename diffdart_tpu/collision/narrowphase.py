@@ -171,11 +171,12 @@ def box_box(Ra, pa, sa, Rb, pb, sb):
 
     # --- edge-edge axes (9): axis = a_i x b_j ---
     def edge_axis_sep(i, j):
-        axis_a = jnp.zeros(3, dtype).at[i].set(1.0)
         axis_w = jnp.cross(Ra[:, i], Rb[:, j])
-        norm = jnp.linalg.norm(axis_w)
-        ok = norm > 1e-6
-        axis_w = axis_w / jnp.where(ok, norm, 1.0)
+        # NaN-safe normalization: parallel edges give a zero cross product,
+        # where norm() has a NaN gradient — guard n2 BEFORE the sqrt
+        n2 = jnp.sum(axis_w * axis_w)
+        ok = n2 > 1e-12
+        axis_w = axis_w * jnp.where(ok, 1.0 / jnp.sqrt(jnp.where(ok, n2, 1.0)), 0.0)
         ra_proj = jnp.sum(sa * jnp.abs(Ra.T @ axis_w))
         rb_proj = jnp.sum(sb * jnp.abs(Rb.T @ axis_w))
         sep = jnp.abs(jnp.dot(d, axis_w)) - (ra_proj + rb_proj)

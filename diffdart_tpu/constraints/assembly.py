@@ -108,7 +108,9 @@ def assemble_constraints(
     A = A + model.contact_cfm * jnp.eye(D, dtype=dtype)
 
     # ---- b / bounds / fidx / validity ----
-    erp_vel_cap = 10.0
+    # max error-correction velocity (the reference caps ERV similarly so deep
+    # initial penetrations don't launch bodies)
+    erp_vel_cap = 2.0
     slop = 1e-5
     b_parts, lo_parts, hi_parts, mu_parts, fidx_parts, valid_parts = [], [], [], [], [], []
     inf = jnp.full((nc,), jnp.inf, dtype) if nc else None

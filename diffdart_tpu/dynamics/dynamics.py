@@ -93,6 +93,26 @@ def joint_forces(model: Model, q, v):
     return f
 
 
+def implicit_joint_terms(model: Model, q, v, dt):
+    """Implicit (backward-Euler) spring/damper treatment, the reference's
+    stability trick for stiff joint PD (DART folds spring/damping into the
+    augmented mass matrix — GenericJoint implicit spring/damper):
+
+        M_eff = M + dt diag(d) + dt^2 diag(k)
+        f     = -d v - k (qt - q_rest) - dt k v
+
+    so  v' = v + dt M_eff^{-1} (tau - C + f)  is unconditionally stable in
+    the joint-local stiffness. Returns (M_extra_diag, f)."""
+    d = model.damping
+    f = -d * v
+    extra = dt * d
+    if model.has_springs:
+        k = model.spring_stiff
+        f = f - k * (q_tangent(model, q) - model.q_rest) - dt * k * v
+        extra = extra + dt * dt * k
+    return extra, f
+
+
 def forward_dynamics(model: Model, q, v, tau, f_ext=None, cache=None):
     """Unconstrained forward dynamics: qdd = M^{-1}(tau_total - C).
 
@@ -100,13 +120,14 @@ def forward_dynamics(model: Model, q, v, tau, f_ext=None, cache=None):
     impulses converted to forces)."""
     if cache is None:
         cache = kinematics_cache(model, q, v)
+    from diffdart_tpu.ops.smalllinalg import spd_solve_small
+
     M = mass_matrix(model, q, cache)
     C = bias_forces(model, q, v, cache)
     rhs = tau + joint_forces(model, q, v) - C
     if f_ext is not None:
         rhs = rhs + f_ext
-    L = jnp.linalg.cholesky(M)
-    return jax.scipy.linalg.cho_solve((L, True), rhs)
+    return spd_solve_small(M, rhs)
 
 
 def inverse_dynamics(model: Model, q, v, qdd):

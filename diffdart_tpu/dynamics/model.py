@@ -114,7 +114,9 @@ class Model:
     geom_restitution: jnp.ndarray = None  # (ngeom,)
 
     # ---- contact solver configuration (static) ----
-    contact_iters: int = struct.field(pytree_node=False, default=30)
+    contact_iters: int = struct.field(pytree_node=False, default=10)
+    contact_solver: str = struct.field(pytree_node=False, default="lowrank")
+    lcp_polish: bool = struct.field(pytree_node=False, default=True)
     contact_cfm: float = struct.field(pytree_node=False, default=1e-6)
     baumgarte_erp: float = struct.field(pytree_node=False, default=0.2)
     limit_iters_extra: int = struct.field(pytree_node=False, default=0)
@@ -171,7 +173,9 @@ class Model:
                 m[self.q_off[i] : self.q_off[i] + 4] = True
         return m
 
-    def neutral_q(self, dtype=jnp.float64) -> jnp.ndarray:
+    def neutral_q(self, dtype=None) -> jnp.ndarray:
+        if dtype is None:
+            dtype = self.mass.dtype if self.mass is not None else jnp.zeros(0).dtype
         q = np.zeros(self.nq)
         for i in range(self.nbody):
             if self.jtype[i] in (JointType.BALL, JointType.FREE):

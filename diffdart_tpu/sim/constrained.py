@@ -25,14 +25,19 @@ def step_constrained(model: Model, state: State, tau=None) -> State:
         tau = jnp.zeros(model.nv, dtype)
     dt = model.dt.astype(dtype)
 
+    from diffdart_tpu.ops.smalllinalg import cholesky_small, cho_solve_small
+
     cache = D.kinematics_cache(model, q, v)
-    M = D.mass_matrix(model, q, cache)
+    M_plain = D.mass_matrix(model, q, cache)
     C = D.bias_forces(model, q, v, cache)
-    L = jnp.linalg.cholesky(M)
-    Minv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(model.nv, dtype=dtype))
+    # implicit joint spring/damping: augment the mass matrix (DART parity)
+    extra_diag, f_joint = D.implicit_joint_terms(model, q, v, dt)
+    M = M_plain + jnp.diag(extra_diag)
+    L = cholesky_small(M)
+    Minv = cho_solve_small(L, jnp.eye(model.nv, dtype=dtype))
 
     # unconstrained end-of-step velocity
-    v_star = v + dt * (Minv @ (tau + D.joint_forces(model, q, v) - C))
+    v_star = v + dt * (Minv @ (tau + f_joint - C))
 
     contacts = collide_world(model, cache["R"], cache["p"])
     qt = D.q_tangent(model, q)
@@ -42,7 +47,19 @@ def step_constrained(model: Model, state: State, tau=None) -> State:
     if lcp.A.shape[0] == 0:
         v_new = v_star
     else:
-        lam = boxed_lcp(lcp.A, lcp.b, lcp.lo, lcp.hi, lcp.mu, lcp.fidx, model.contact_iters)
+        if model.contact_solver == "lowrank":
+            from diffdart_tpu.ops.lcp_lowrank import boxed_lcp_lowrank
+
+            lam = boxed_lcp_lowrank(
+                lcp.J, M, jnp.asarray(model.contact_cfm, dtype), lcp.b,
+                lcp.lo, lcp.hi, lcp.mu, lcp.fidx,
+                model.contact_iters, 3 if model.lcp_polish else 0,
+            )
+        else:
+            lam = boxed_lcp(
+                lcp.A, lcp.b, lcp.lo, lcp.hi, lcp.mu, lcp.fidx,
+                model.contact_iters, model.contact_solver, model.lcp_polish,
+            )
         v_new = v_star + Minv @ (lcp.J.T @ lam)
 
     q_new = D.integrate_positions(model, q, v_new, dt)

@@ -22,10 +22,18 @@ def step_unconstrained(model: Model, state: State, tau=None) -> State:
     no collisions: forward dynamics + integrateVelocities + integratePositions)."""
     if tau is None:
         tau = jnp.zeros(model.nv, dtype=state.q.dtype)
-    dt = model.dt.astype(state.q.dtype)
-    qdd = D.forward_dynamics(model, state.q, state.v, tau)
-    v_new = state.v + dt * qdd
-    q_new = D.integrate_positions(model, state.q, v_new, dt)
+    from diffdart_tpu.ops.smalllinalg import spd_solve_small
+
+    q, v = state.q, state.v
+    dt = model.dt.astype(q.dtype)
+    cache = D.kinematics_cache(model, q, v)
+    M = D.mass_matrix(model, q, cache)
+    C = D.bias_forces(model, q, v, cache)
+    extra_diag, f_joint = D.implicit_joint_terms(model, q, v, dt)
+    M_eff = M + jnp.diag(extra_diag)
+    qdd = spd_solve_small(M_eff, tau + f_joint - C)
+    v_new = v + dt * qdd
+    q_new = D.integrate_positions(model, q, v_new, dt)
     t = state.t + dt if state.t is not None else None
     return State(q=q_new, v=v_new, t=t)
 

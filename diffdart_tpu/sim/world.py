@@ -46,24 +46,30 @@ class Skeleton:
 
     # -- state -------------------------------------------------------------
     def getPositions(self):
+        self._world._finalize()
         return self._world.state.q[self._q[0] : self._q[1]]
 
     def setPositions(self, q):
+        self._world._finalize()
         s = self._world.state
         self._world.state = s.replace(q=s.q.at[self._q[0] : self._q[1]].set(jnp.asarray(q, s.q.dtype)))
 
     def getVelocities(self):
+        self._world._finalize()
         return self._world.state.v[self._v[0] : self._v[1]]
 
     def setVelocities(self, v):
+        self._world._finalize()
         s = self._world.state
         self._world.state = s.replace(v=s.v.at[self._v[0] : self._v[1]].set(jnp.asarray(v, s.v.dtype)))
 
     def getControlForces(self):
+        self._world._finalize()
         return self._world._tau[self._v[0] : self._v[1]]
 
     def setControlForces(self, tau):
         w = self._world
+        w._finalize()
         w._tau = w._tau.at[self._v[0] : self._v[1]].set(jnp.asarray(tau, w._tau.dtype))
 
     # -- dynamics queries ---------------------------------------------------

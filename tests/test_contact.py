@@ -170,18 +170,30 @@ class TestContactGradients:
 
     def test_grad_wrt_mass(self):
         """WithRespectTo::GROUP_MASSES capability: gradients w.r.t. inertial
-        params flow through contact for free."""
-        m = cube_drop(dt=2e-3, half=0.1, friction=0.5)
+        params flow through contact for free. Uses a two-sphere collision —
+        the momentum exchange depends on the mass RATIO (a single body's
+        frictional slide is mass-invariant, so it can't probe this)."""
+        b = ModelBuilder(dt=1e-3, gravity=(0, 0, 0))
+        s0 = b.add_body(parent=-1, jtype=JointType.FREE, mass=1.0, inertia=np.eye(3) * 1e-3)
+        b.add_geom(s0, GeomType.SPHERE, size=(0.1, 0, 0), restitution=0.5)
+        s1 = b.add_body(parent=-1, jtype=JointType.FREE, mass=2.0, inertia=np.eye(3) * 1e-3)
+        b.add_geom(s1, GeomType.SPHERE, size=(0.1, 0, 0), restitution=0.5)
+        m = b.finalize()
+        q0 = m.neutral_q()
+        q0 = q0.at[4].set(-0.3).at[7 + 4].set(0.3)  # spheres at x = -0.3 and +0.3
 
-        def f(mass):
-            mm = m.replace(mass=jnp.full_like(m.mass, mass))
-            s = State(q=mm.neutral_q().at[6].set(0.15), v=jnp.zeros(6).at[3].set(2.0), t=jnp.zeros(()))
-            final, _ = rollout(mm, s, jnp.zeros((250, 6)))
-            return final.q[4]
+        def f(mass0):
+            mm = m.replace(mass=m.mass.at[0].set(mass0))
+            v0 = jnp.zeros(12).at[3].set(2.0)  # sphere 0 moves +x into sphere 1
+            s = State(q=q0, v=v0, t=jnp.zeros(()))
+            final, _ = rollout(mm, s, jnp.zeros((300, 12)))
+            return final.v[3] + 2.0 * final.v[9]  # post-collision velocities
 
         g = jax.grad(f)(1.0)
-        fd = (f(1.0 + 1e-5) - f(1.0 - 1e-5)) / (2e-5)
-        np.testing.assert_allclose(float(g), float(fd), rtol=1e-3, atol=1e-8)
+        eps = 1e-5
+        fd = (f(1.0 + eps) - f(1.0 - eps)) / (2 * eps)
+        assert abs(float(fd)) > 1e-3  # the objective really depends on mass
+        np.testing.assert_allclose(float(g), float(fd), rtol=1e-4)
 
 
 class TestBatchedContact:
@@ -196,5 +208,5 @@ class TestBatchedContact:
         for i in range(4):
             s_i = State(q=qs[i], v=vs[i], t=jnp.zeros(()))
             out_i = step(m, s_i)
-            np.testing.assert_array_equal(np.asarray(out.q[i]), np.asarray(out_i.q))
-            np.testing.assert_array_equal(np.asarray(out.v[i]), np.asarray(out_i.v))
+            np.testing.assert_allclose(np.asarray(out.q[i]), np.asarray(out_i.q), atol=1e-13, rtol=0)
+            np.testing.assert_allclose(np.asarray(out.v[i]), np.asarray(out_i.v), atol=1e-13, rtol=0)

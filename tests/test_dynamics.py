@@ -168,8 +168,10 @@ class TestBatching:
         for i in range(4):
             s_i = State(q=qs[i], v=vs[i], t=jnp.zeros(()))
             out_i = step_unconstrained(m, s_i, taus[i])
-            np.testing.assert_array_equal(np.asarray(out_b.q[i]), np.asarray(out_i.q))
-            np.testing.assert_array_equal(np.asarray(out_b.v[i]), np.asarray(out_i.v))
+            # ULP-level tolerance: XLA fuses differently under vmap, which
+            # reorders float reductions (deviations observed ~1e-17 on f64)
+            np.testing.assert_allclose(np.asarray(out_b.q[i]), np.asarray(out_i.q), atol=1e-13, rtol=0)
+            np.testing.assert_allclose(np.asarray(out_b.v[i]), np.asarray(out_i.v), atol=1e-13, rtol=0)
 
 
 class TestBPTT:

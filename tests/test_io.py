@@ -1,0 +1,171 @@
+"""URDF/.skel loader tests, with MuJoCo as the cross-engine dynamics oracle
+(SURVEY.md §4 rebuild plan #2: DART itself is unavailable, MuJoCo CPU is the
+independent reference for parser+dynamics round trips)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffdart_tpu.dynamics.dynamics import forward_dynamics, mass_matrix
+from diffdart_tpu.dynamics.kinematics import fk
+from diffdart_tpu.dynamics.model import JointType, ModelBuilder
+from diffdart_tpu.io import load_urdf_into_builder, load_skel_into_builder
+
+URDF_2LINK = """
+<robot name="twolink">
+  <link name="base">
+    <inertial><mass value="2.0"/><origin xyz="0.1 0 0"/>
+      <inertia ixx="0.02" iyy="0.03" izz="0.04" ixy="0" ixz="0" iyz="0"/></inertial>
+    <collision><geometry><box size="0.2 0.1 0.1"/></geometry></collision>
+  </link>
+  <link name="link1">
+    <inertial><mass value="1.0"/><origin xyz="0.15 0 0"/>
+      <inertia ixx="0.01" iyy="0.02" izz="0.02" ixy="0" ixz="0" iyz="0"/></inertial>
+    <collision><origin xyz="0.15 0 0"/><geometry><sphere radius="0.05"/></geometry></collision>
+  </link>
+  <link name="link2">
+    <inertial><mass value="0.5"/><origin xyz="0.1 0 0"/>
+      <inertia ixx="0.005" iyy="0.008" izz="0.008" ixy="0" ixz="0" iyz="0"/></inertial>
+    <collision><origin xyz="0.1 0 0" rpy="0 1.5707963 0"/><geometry><cylinder radius="0.03" length="0.2"/></geometry></collision>
+  </link>
+  <joint name="j1" type="revolute">
+    <parent link="base"/><child link="link1"/>
+    <origin xyz="0.2 0 0.05" rpy="0 0 0"/><axis xyz="0 1 0"/>
+    <limit lower="-1.5" upper="1.5" effort="50" velocity="10"/>
+    <dynamics damping="0.1"/>
+  </joint>
+  <joint name="j2" type="continuous">
+    <parent link="link1"/><child link="link2"/>
+    <origin xyz="0.3 0 0" rpy="0 0 0.5"/><axis xyz="0 0 1"/>
+  </joint>
+</robot>
+"""
+
+SKEL_PENDULUM = """
+<world name="w">
+  <physics><time_step>0.002</time_step><gravity>0 0 -9.81</gravity></physics>
+  <skeleton name="pend">
+    <body name="link0">
+      <transformation>0 0 1 0 0 0</transformation>
+      <inertia><mass>1.5</mass><offset>0.25 0 0</offset>
+        <moment_of_inertia><ixx>0.01</ixx><iyy>0.03</iyy><izz>0.03</izz></moment_of_inertia></inertia>
+      <collision_shape><transformation>0.25 0 0 0 0 0</transformation>
+        <geometry><box><size>0.5 0.05 0.05</size></box></geometry></collision_shape>
+    </body>
+    <joint type="revolute" name="j0">
+      <parent>world</parent><child>link0</child>
+      <axis><xyz>0 1 0</xyz><limit><lower>-2.0</lower><upper>2.0</upper></limit></axis>
+    </joint>
+  </skeleton>
+</world>
+"""
+
+
+class TestURDF:
+    def _load(self, root_joint=JointType.WELD):
+        b = ModelBuilder()
+        load_urdf_into_builder(b, URDF_2LINK, root_joint=root_joint)
+        return b.finalize()
+
+    def test_topology(self):
+        m = self._load()
+        assert m.nbody == 3
+        assert m.jtype[0] == JointType.WELD
+        assert m.jtype[1] == JointType.REVOLUTE
+        assert m.jtype[2] == JointType.REVOLUTE
+        assert m.nv == 2
+        np.testing.assert_allclose(np.asarray(m.mass), [2.0, 1.0, 0.5])
+        # limits from <limit>
+        assert float(m.q_lo[0]) == -1.5 and float(m.q_hi[0]) == 1.5
+        assert float(m.damping[0]) == 0.1
+
+    def test_fk_matches_mujoco(self):
+        mujoco = pytest.importorskip("mujoco")
+        m = self._load()
+        MJCF = """
+        <mujoco><option gravity="0 0 -9.81"/><worldbody>
+          <body name="base">
+            <inertial pos="0.1 0 0" mass="2.0" diaginertia="0.02 0.03 0.04"/>
+            <body name="link1" pos="0.2 0 0.05">
+              <joint name="j1" type="hinge" axis="0 1 0"/>
+              <inertial pos="0.15 0 0" mass="1.0" diaginertia="0.01 0.02 0.02"/>
+              <body name="link2" pos="0.3 0 0" euler="0 0 28.64788975654116">
+                <joint name="j2" type="hinge" axis="0 0 1"/>
+                <inertial pos="0.1 0 0" mass="0.5" diaginertia="0.005 0.008 0.008"/>
+              </body>
+            </body>
+          </body>
+        </worldbody></mujoco>
+        """
+        mj = mujoco.MjModel.from_xml_string(MJCF)
+        dj = mujoco.MjData(mj)
+        q = np.array([0.4, -0.7])
+        dj.qpos[:] = q
+        mujoco.mj_forward(mj, dj)
+        R, p = fk(m, jnp.asarray(q))
+        for name, bi in [("link1", 1), ("link2", 2)]:
+            mb = mj.body(name)
+            np.testing.assert_allclose(np.asarray(p[bi]), dj.xpos[mb.id], atol=1e-8)
+
+    def test_dynamics_match_mujoco(self):
+        mujoco = pytest.importorskip("mujoco")
+        m = self._load()
+        MJCF = """
+        <mujoco><option gravity="0 0 -9.81"/><worldbody>
+          <body name="base">
+            <inertial pos="0.1 0 0" mass="2.0" diaginertia="0.02 0.03 0.04"/>
+            <body name="link1" pos="0.2 0 0.05">
+              <joint name="j1" type="hinge" axis="0 1 0" damping="0"/>
+              <inertial pos="0.15 0 0" mass="1.0" diaginertia="0.01 0.02 0.02"/>
+              <body name="link2" pos="0.3 0 0" euler="0 0 28.64788975654116">
+                <joint name="j2" type="hinge" axis="0 0 1"/>
+                <inertial pos="0.1 0 0" mass="0.5" diaginertia="0.005 0.008 0.008"/>
+              </body>
+            </body>
+          </body>
+        </worldbody></mujoco>
+        """
+        mj = mujoco.MjModel.from_xml_string(MJCF)
+        dj = mujoco.MjData(mj)
+        q = np.array([0.4, -0.7])
+        v = np.array([1.0, -2.0])
+        tau = np.array([0.5, 0.2])
+        dj.qpos[:], dj.qvel[:], dj.ctrl = q, v, 0
+        dj.qfrc_applied[:] = tau
+        mujoco.mj_forward(mj, dj)
+        # mass matrix
+        Mmj = np.zeros((2, 2))
+        mujoco.mj_fullM(mj, dj, Mmj)
+        m0 = m.replace(damping=m.damping * 0.0)
+        Mj = np.asarray(mass_matrix(m0, jnp.asarray(q)))
+        np.testing.assert_allclose(Mj, Mmj, atol=1e-8)
+        qdd = np.asarray(forward_dynamics(m0, jnp.asarray(q), jnp.asarray(v), jnp.asarray(tau)))
+        np.testing.assert_allclose(qdd, dj.qacc, atol=1e-6)
+
+
+class TestSkel:
+    def test_load_pendulum(self):
+        b = ModelBuilder()
+        load_skel_into_builder(b, SKEL_PENDULUM)
+        m = b.finalize()
+        assert m.nbody == 1
+        assert m.jtype[0] == JointType.REVOLUTE
+        np.testing.assert_allclose(float(m.mass[0]), 1.5)
+        np.testing.assert_allclose(float(b.dt), 0.002)
+        # world placement z=1 becomes the tree transform
+        np.testing.assert_allclose(np.asarray(m.X_pos[0]), [0, 0, 1], atol=1e-12)
+        assert float(m.q_lo[0]) == -2.0
+
+    def test_skel_dynamics_sane(self):
+        from diffdart_tpu.dynamics.model import make_state
+        from diffdart_tpu.sim import step
+
+        b = ModelBuilder()
+        load_skel_into_builder(b, SKEL_PENDULUM)
+        m = b.finalize()
+        s = make_state(m)
+        for _ in range(10):
+            s = step(m, s)
+        assert np.all(np.isfinite(np.asarray(s.q)))
+        # hanging rod swings down: q accelerates negative (com at +x, gravity -z)
+        assert float(s.v[0]) != 0.0
