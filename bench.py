@@ -41,18 +41,10 @@ def main():
 
     roll = jax.jit(jax.vmap(lambda s, t: rollout(m, s, t), in_axes=(0, 1)))
 
-    from diffdart_tpu.sim import step
-
-    def remat_rollout(s, taus_env):
-        """Per-step remat: the BPTT memory trick (SURVEY.md §5 knot-point
-        analogue) — backward recomputes each step instead of storing the
-        whole contact solve's intermediates for T*B steps."""
-        body = jax.checkpoint(lambda s_, tau: (step(m, s_, tau), None))
-        final, _ = jax.lax.scan(body, s, taus_env)
-        return final
+    from diffdart_tpu.sim import rollout_checkpointed
 
     def loss(taus):
-        final = jax.vmap(remat_rollout, in_axes=(0, 1))(batch, taus)
+        final = jax.vmap(lambda s, t: rollout_checkpointed(m, s, t), in_axes=(0, 1))(batch, taus)
         return jnp.mean(final.q[:, 1] ** 2) + 1e-4 * jnp.mean(taus**2)
 
     grad = jax.jit(jax.grad(loss))
@@ -76,6 +68,22 @@ def main():
     sps_fwd = B * T / t_fwd
     sps_grad = B * T / t_grad
 
+    # secondary metric: Atlas-class humanoid (30 DOF) contact step rate
+    from diffdart_tpu.models.humanoid import humanoid, humanoid_init_q
+
+    mh = humanoid(dt=2e-3)
+    Bh, Th = 256, 10
+    bh = State(
+        q=jnp.tile(humanoid_init_q(mh), (Bh, 1)),
+        v=jnp.zeros((Bh, mh.nv), dtype),
+        t=jnp.zeros(Bh, dtype),
+    )
+    rollh = jax.jit(jax.vmap(lambda s: rollout(mh, s, jnp.zeros((Th, mh.nv), dtype))[0]))
+    fh = rollh(bh)
+    fh.q.block_until_ready()
+    t_atlas = timeit(lambda: rollh(bh), lambda o: o.q)
+    atlas_sps = Bh * Th / t_atlas
+
     result = {
         "metric": "halfcheetah env-steps/sec/chip (fwd+grad, B=4096)",
         "value": round(sps_grad),
@@ -83,6 +91,8 @@ def main():
         "vs_baseline": round(sps_grad / 1_000_000.0, 4),
         "extra": {
             "fwd_env_steps_per_sec": round(sps_fwd),
+            "atlas_humanoid_steps_per_sec": round(atlas_sps),
+            "atlas_vs_50k_target": round(atlas_sps / 50_000.0, 4),
             "backend": jax.default_backend(),
             "batch": B,
             "horizon": T,

@@ -60,6 +60,11 @@ def step_constrained(model: Model, state: State, tau=None) -> State:
                 lcp.A, lcp.b, lcp.lo, lcp.hi, lcp.mu, lcp.fidx,
                 model.contact_iters, model.contact_solver, model.lcp_polish,
             )
+        # named for remat policies: rollout_checkpointed saves lambda so the
+        # backward pass never re-runs the LCP sweeps/polish
+        from jax.ad_checkpoint import checkpoint_name
+
+        lam = checkpoint_name(lam, "lcp_lam")
         v_new = v_star + Minv @ (lcp.J.T @ lam)
 
     q_new = D.integrate_positions(model, q, v_new, dt)

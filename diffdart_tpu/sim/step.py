@@ -58,3 +58,18 @@ def rollout(model: Model, state: State, taus) -> tuple[State, State]:
         return s2, s2
 
     return jax.lax.scan(body, state, taus)
+
+
+def rollout_checkpointed(model: Model, state: State, taus) -> State:
+    """BPTT-ready rollout: per-step rematerialization (the knot-point memory
+    trick — SURVEY.md §5) with the LCP impulse saved by name, so the backward
+    pass re-runs kinematics/assembly but NOT the contact solve. Returns the
+    final state only (per-step outputs would defeat the memory savings)."""
+    policy = jax.checkpoint_policies.save_only_these_names("lcp_lam")
+
+    def body(s, tau):
+        return step(model, s, tau), None
+
+    body = jax.checkpoint(body, policy=policy)
+    final, _ = jax.lax.scan(body, state, taus)
+    return final

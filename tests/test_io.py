@@ -143,6 +143,48 @@ class TestURDF:
         np.testing.assert_allclose(qdd, dj.qacc, atol=1e-6)
 
 
+MJCF_ANCHORED = """
+<mujoco><option gravity="0 0 -9.81" timestep="0.002"/><worldbody>
+  <geom type="plane" size="5 5 0.1"/>
+  <body name="link1" pos="0.1 0 0.5">
+    <joint name="j1" type="hinge" axis="0 1 0" pos="0 0 0.1" damping="0.2" armature="0.01"/>
+    <inertial pos="0.2 0 0" mass="1.5" diaginertia="0.01 0.02 0.02"/>
+    <geom type="capsule" size="0.04 0.15" pos="0.2 0 0"/>
+    <body name="link2" pos="0.4 0 0">
+      <joint name="j2" type="hinge" axis="0 0 1"/>
+      <inertial pos="0.1 0 0" mass="0.7" diaginertia="0.005 0.006 0.006"/>
+      <geom type="sphere" size="0.05" pos="0.1 0 0"/>
+    </body>
+  </body>
+</worldbody></mujoco>"""
+
+
+class TestMJCF:
+    def test_matches_mujoco_including_anchors(self):
+        """MJCF import reproduces MuJoCo's own dynamics exactly — including
+        off-origin joint anchors, per-dof damping and armature."""
+        mujoco = pytest.importorskip("mujoco")
+        from diffdart_tpu.dynamics.kinematics import com_positions
+        from diffdart_tpu.io.mjcf import load_mjcf_into_builder
+
+        b = ModelBuilder()
+        load_mjcf_into_builder(b, MJCF_ANCHORED)
+        m = b.finalize()
+        mj = mujoco.MjModel.from_xml_string(MJCF_ANCHORED)
+        dj = mujoco.MjData(mj)
+        q = np.array([0.4, -0.9])
+        v = np.array([1.2, -0.5])
+        tau = np.array([0.3, -0.2])
+        dj.qpos[:], dj.qvel[:] = q, v
+        dj.qfrc_applied[:] = tau
+        mujoco.mj_forward(mj, dj)
+        R, p = fk(m, jnp.asarray(q))
+        coms = np.asarray(com_positions(m, R, p))
+        np.testing.assert_allclose(coms, dj.xipos[1:], atol=1e-12)
+        qdd = np.asarray(forward_dynamics(m, jnp.asarray(q), jnp.asarray(v), jnp.asarray(tau)))
+        np.testing.assert_allclose(qdd, dj.qacc, atol=1e-7)
+
+
 class TestSkel:
     def test_load_pendulum(self):
         b = ModelBuilder()
