@@ -31,7 +31,18 @@ _DISPATCH = {
     (_G.CAPSULE, _G.BOX): (NP.capsule_box, 3),
     (_G.BOX, _G.PLANE): (NP.box_plane, 8),
     (_G.BOX, _G.BOX): (NP.box_box, 8),
+    (_G.CYLINDER, _G.PLANE): (NP.cylinder_plane, 8),
+    # cylinder vs non-plane: capsule approximation of the same radius/length
+    (_G.CYLINDER, _G.SPHERE): (lambda Ra, pa, sa, Rb, pb, sb: _swap(NP.sphere_capsule(Rb, pb, sb, Ra, pa, sa)), 1),
+    (_G.CYLINDER, _G.CAPSULE): (NP.capsule_capsule, 1),
+    (_G.CYLINDER, _G.BOX): (NP.capsule_box, 3),
+    (_G.CYLINDER, _G.CYLINDER): (NP.capsule_capsule, 1),
 }
+
+
+def _swap(out):
+    pos, n, d, v = out
+    return pos, -n, d, v
 
 
 class Contacts(NamedTuple):

@@ -129,6 +129,38 @@ def capsule_box(Ra, pa, sa, Rb, pb, sb):
     return tuple(jnp.stack([o[i] for o in outs]) for i in range(4))
 
 
+def cylinder_plane(Ra, pa, sa, Rb, pb, sb):
+    """A = cylinder (axis z, radius sa[0], half-height sa[1]), B = plane.
+    Parity: collideCylinderPlane (DARTCollide.cpp). 8 rim candidates — the
+    deepest rim direction and its orthogonal pair on both caps — cover the
+    upright (flat cap, 4-point ring), lying (2-point line), and tilted
+    (1-point) cases branchlessly."""
+    r, h = sa[0], sa[1]
+    axis = Ra[:, 2]
+    n = Rb[:, 2]
+    # rim direction steepest down the plane: project -n onto the cap plane
+    d_raw = -n + jnp.dot(n, axis) * axis
+    d2 = jnp.sum(d_raw * d_raw)
+    ok = d2 > 1e-12
+    d_hat = d_raw * jnp.where(ok, 1.0 / jnp.sqrt(jnp.where(ok, d2, 1.0)), 0.0)
+    # fallback tangent basis for the flat case (axis parallel to n)
+    t_fb = Ra[:, 0]
+    d_hat = jnp.where(ok, d_hat, t_fb)
+    t_hat = jnp.cross(axis, d_hat)
+    poss, depths = [], []
+    for s_cap in (-1.0, 1.0):
+        c = pa + axis * (s_cap * h)
+        for dvec in (d_hat, -d_hat, t_hat, -t_hat):
+            p = c + r * dvec
+            depth = -jnp.dot(p - pb, n)
+            poss.append(p + 0.5 * depth * n)
+            depths.append(depth)
+    pos = jnp.stack(poss)
+    depth = jnp.stack(depths)
+    normal = jnp.broadcast_to(n, (8, 3))
+    return pos, normal, depth, depth > 0
+
+
 def box_plane(Ra, pa, sa, Rb, pb, sb):
     """A = box, B = plane: all 8 corners are candidate contacts."""
     half = sa

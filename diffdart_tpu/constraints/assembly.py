@@ -8,8 +8,13 @@ fixed-size system), no per-constraint impulse tests (A = J M^-1 J^T computed
 as dense batched matmuls on the MXU).
 
 Row layout (static):
-  [ nc normal rows | nc tangent-1 rows | nc tangent-2 rows | 2*nlim limit rows ]
-fidx couples each tangent row to its normal row.
+  [ nc normals | nc tangent-1 | nc tangent-2 | 2*nlim limits |
+    nservo servo rows | nfric joint-friction rows ]
+fidx couples each tangent row to its normal row. Servo rows
+(ServoMotorConstraint parity) drive dof velocity to the commanded target
+within +-force_limit*dt impulse bounds; joint-friction rows
+(JointCoulombFrictionConstraint parity) drive dof velocity to zero within
++-joint_friction*dt.
 """
 from __future__ import annotations
 
@@ -77,7 +82,9 @@ def assemble_constraints(
     nc = contacts.pos.shape[0]
     body_a, body_b = contact_slots(model)
     nlim = len(model.limited_dofs)
-    D = 3 * nc + 2 * nlim
+    nservo = len(model.servo_dofs)
+    nfric = len(model.friction_dofs)
+    D = 3 * nc + 2 * nlim + nservo + nfric
 
     rows = []
     # world row for mask lookup: body -1 -> zero mask
@@ -102,6 +109,12 @@ def assemble_constraints(
         lim = jnp.asarray(np.array(model.limited_dofs), jnp.int32)
         e = jnp.zeros((nlim, model.nv), dtype).at[jnp.arange(nlim), lim].set(1.0)
         rows += [e, -e]
+    if nservo:
+        sv = jnp.asarray(np.array(model.servo_dofs), jnp.int32)
+        rows += [jnp.zeros((nservo, model.nv), dtype).at[jnp.arange(nservo), sv].set(1.0)]
+    if nfric:
+        fr = jnp.asarray(np.array(model.friction_dofs), jnp.int32)
+        rows += [jnp.zeros((nfric, model.nv), dtype).at[jnp.arange(nfric), fr].set(1.0)]
     J = jnp.concatenate(rows, axis=0) if rows else jnp.zeros((0, model.nv), dtype)
 
     A = J @ Minv @ J.T
@@ -156,6 +169,22 @@ def assemble_constraints(
         mu_parts += [zero, zero]
         fidx_parts += [jnp.full((nlim,), -1, jnp.int32)] * 2
         valid_parts += [act_lo, act_hi]
+    if nservo:
+        sv = jnp.asarray(np.array(model.servo_dofs), jnp.int32)
+        b_parts += [v_star[sv] - model.servo_target[sv]]
+        lo_parts += [-model.force_limit[sv] * dt]
+        hi_parts += [model.force_limit[sv] * dt]
+        mu_parts += [jnp.zeros((nservo,), dtype)]
+        fidx_parts += [jnp.full((nservo,), -1, jnp.int32)]
+        valid_parts += [jnp.ones((nservo,), bool)]
+    if nfric:
+        fr = jnp.asarray(np.array(model.friction_dofs), jnp.int32)
+        b_parts += [v_star[fr]]
+        lo_parts += [-model.joint_friction[fr] * dt]
+        hi_parts += [model.joint_friction[fr] * dt]
+        mu_parts += [jnp.zeros((nfric,), dtype)]
+        fidx_parts += [jnp.full((nfric,), -1, jnp.int32)]
+        valid_parts += [jnp.ones((nfric,), bool)]
 
     b = jnp.concatenate(b_parts) if b_parts else jnp.zeros((0,), dtype)
     lo = jnp.concatenate(lo_parts) if lo_parts else jnp.zeros((0,), dtype)

@@ -100,6 +100,10 @@ class Model:
     inertia: jnp.ndarray = None  # (nbody, 3, 3) rotational inertia about COM
     damping: jnp.ndarray = None  # (nv,)
     armature: jnp.ndarray = None  # (nv,) reflected rotor inertia added to M diag
+    # actuation/joint-friction (ServoMotorConstraint / JointCoulombFriction parity)
+    servo_target: jnp.ndarray = None  # (nv,) commanded joint velocity for servo rows
+    force_limit: jnp.ndarray = None  # (nv,) |force| limit for servo rows
+    joint_friction: jnp.ndarray = None  # (nv,) dry (Coulomb) joint friction force
     spring_stiff: jnp.ndarray = None  # (nv,)
     q_rest: jnp.ndarray = None  # (nv,) spring rest position (tangent coords)
     q_lo: jnp.ndarray = None  # (nv,) joint position lower limit (tangent coords)
@@ -114,7 +118,7 @@ class Model:
     geom_restitution: jnp.ndarray = None  # (ngeom,)
 
     # ---- contact solver configuration (static) ----
-    contact_iters: int = struct.field(pytree_node=False, default=10)
+    contact_iters: int = struct.field(pytree_node=False, default=6)
     contact_solver: str = struct.field(pytree_node=False, default="lowrank")
     lcp_polish: bool = struct.field(pytree_node=False, default=True)
     contact_cfm: float = struct.field(pytree_node=False, default=1e-6)
@@ -128,6 +132,9 @@ class Model:
     limited_dofs: tuple = struct.field(pytree_node=False, default=())
     # static: any nonzero joint springs? (skips tangent projection when not)
     has_springs: bool = struct.field(pytree_node=False, default=False)
+    # static dof index tuples for servo / dry-friction LCP rows
+    servo_dofs: tuple = struct.field(pytree_node=False, default=())
+    friction_dofs: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def nbody(self) -> int:
@@ -406,4 +413,35 @@ class ModelBuilder:
             has_joint_limits=bool(np.any(q_lo > -1e8) or np.any(q_hi < 1e8)),
             limited_dofs=tuple(int(i) for i in np.nonzero((q_lo > -1e8) | (q_hi < 1e8))[0]),
             has_springs=bool(np.any(spring != 0.0)),
+            servo_target=jnp.zeros(nv, dtype),
+            force_limit=jnp.full((nv,), 1e9, dtype),
+            joint_friction=jnp.zeros(nv, dtype),
+            servo_dofs=(),
+            friction_dofs=(),
         )
+
+
+def enable_servo(model: Model, dofs, force_limit, target=None) -> Model:
+    """Attach velocity servos (ServoMotorConstraint parity) to the given dofs:
+    the LCP drives each dof's velocity to `servo_target` subject to
+    |force| <= force_limit. Update targets per step with
+    model.replace(servo_target=...) — it is a traced leaf."""
+    fl = model.force_limit
+    for d in dofs:
+        fl = fl.at[d].set(force_limit)
+    m = model.replace(force_limit=fl, servo_dofs=tuple(sorted(set(model.servo_dofs) | set(dofs))))
+    if target is not None:
+        m = m.replace(servo_target=jnp.asarray(target, model.mass.dtype))
+    return m
+
+
+def enable_joint_friction(model: Model, dofs, friction) -> Model:
+    """Dry Coulomb joint friction (JointCoulombFrictionConstraint parity):
+    a bounded impulse drives each dof's velocity toward zero."""
+    jf = model.joint_friction
+    for d in dofs:
+        jf = jf.at[d].set(friction)
+    return model.replace(
+        joint_friction=jf,
+        friction_dofs=tuple(sorted(set(model.friction_dofs) | set(dofs))),
+    )

@@ -23,7 +23,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from diffdart_tpu.ops.lcp import _bounds, _classify, _jacobi, _nat_residual
+from diffdart_tpu.ops.lcp import _bounds, _classify, _const_bound_values, _jacobi, _nat_residual
 from diffdart_tpu.ops.smalllinalg import cholesky_small, cho_solve_small, solve_nopivot_small
 
 _TOL = 1e-8
@@ -73,8 +73,10 @@ def _polish_lowrank(lam0, J, L_M, cfm, A, b, lo, hi, mu, fidx, passes=3):
     def one_pass(lam):
         free, fr_bound, s = _classify(lam, A, b, lo, hi, mu, fidx)
         F = free.astype(lam.dtype)
-        x = _solve_G_lowrank(-F * b, J, L_M, cfm, free, fr_bound, s, mu, fidx)
-        lam_new = x + _apply_B(x, fr_bound, s, mu, fidx)
+        c = _const_bound_values(lam, lo, hi, mu, fidx, free)
+        Ac = J @ cho_solve_small(L_M, J.T @ c) + cfm * c
+        x = _solve_G_lowrank(-F * (b + Ac), J, L_M, cfm, free, fr_bound, s, mu, fidx)
+        lam_new = x + _apply_B(x, fr_bound, s, mu, fidx) + c
         lo_eff, hi_eff = _bounds(lam_new, lo, hi, mu, fidx)
         lam_new = jnp.clip(lam_new, lo_eff, hi_eff)
         return jnp.where(jnp.all(jnp.isfinite(lam_new)), lam_new, lam)

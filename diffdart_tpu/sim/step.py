@@ -42,7 +42,8 @@ def step(model: Model, state: State, tau=None) -> State:
     """Full timestep with contacts and joint limits (falls back to the
     unconstrained step when the model has no collision pairs or limits)."""
     has_limits = model.enable_joint_limits and model.has_joint_limits
-    if not model.col_pairs and not has_limits:
+    has_actuation_rows = bool(model.servo_dofs) or bool(model.friction_dofs)
+    if not model.col_pairs and not has_limits and not has_actuation_rows:
         return step_unconstrained(model, state, tau)
     from diffdart_tpu.sim.constrained import step_constrained
 

@@ -122,6 +122,36 @@ class TestRestitution:
         assert z[touchdown:].max() < 0.105  # no rebound above slop
 
 
+class TestCylinder:
+    """collideCylinderPlane parity (DARTCollide.cpp)."""
+
+    def _world(self, rot=None):
+        b = ModelBuilder(dt=1e-3)
+        b.add_geom(-1, GeomType.PLANE, friction=0.8)
+        body = b.add_body(parent=-1, jtype=JointType.FREE, mass=1.0,
+                          inertia=np.diag([0.02, 0.02, 0.01]))
+        b.add_geom(body, GeomType.CYLINDER, size=(0.05, 0.1, 0),
+                   rot=rot if rot is not None else np.eye(3), friction=0.8)
+        return b.finalize()
+
+    def test_upright_rests_on_cap(self):
+        m = self._world()
+        s = make_state(m, q=m.neutral_q().at[6].set(0.3))
+        final, _ = _roll(m, s, 700)
+        assert abs(float(final.q[6]) - 0.10) < 2e-3
+        assert float(jnp.max(jnp.abs(final.v))) < 1e-6
+
+    def test_lying_rests_on_side(self):
+        from diffdart_tpu.math.lie import exp_so3
+
+        rot = np.asarray(exp_so3(jnp.array([np.pi / 2, 0, 0])))
+        m = self._world(rot=rot)
+        s = make_state(m, q=m.neutral_q().at[6].set(0.3))
+        final, _ = _roll(m, s, 700)
+        assert abs(float(final.q[6]) - 0.05) < 2e-3
+        assert float(jnp.max(jnp.abs(final.v))) < 1e-6
+
+
 class TestStacking:
     def test_two_cube_stack_stable(self):
         """box_box: a stacked pair stays stacked (reference collideBoxBox
