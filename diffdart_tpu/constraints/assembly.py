@@ -39,6 +39,19 @@ class LCPData(NamedTuple):
     valid: jnp.ndarray  # (D,) bool
 
 
+def static_fidx(model: Model) -> tuple:
+    """The (static) friction-index row layout as a Python tuple — used to
+    specialize kernels (e.g. the Pallas sweep) at trace time."""
+    from diffdart_tpu.collision.collide import max_contacts
+
+    nc = max_contacts(model)
+    nlim = len(model.limited_dofs)
+    nservo = len(model.servo_dofs)
+    nfric = len(model.friction_dofs)
+    out = [-1] * nc + list(range(nc)) + list(range(nc)) + [-1] * (2 * nlim + nservo + nfric)
+    return tuple(out)
+
+
 def tangent_basis(n):
     """Deterministic orthonormal (t1, t2) ⊥ n, branchless (the analogue of
     ContactConstraint::getTangentBasisMatrixODE)."""

@@ -45,15 +45,22 @@ def catapult(dt=2e-3) -> Model:
 
 
 def catapult_init_q(model: Model):
+    """Arm cocked back, ball resting ON the cradle (placed via FK so the
+    sphere sits on the cradle box top face)."""
     import jax.numpy as jnp
+
+    from diffdart_tpu.collision.collide import geom_world_poses
+    from diffdart_tpu.dynamics.kinematics import fk
 
     q = np.zeros(model.nq)
     q[0] = -0.6  # arm1 cocked back
     q[1] = 0.4
-    # ball sitting on the cradle (approximate; settles in a few steps)
-    q[2] = 1.0  # quat w
-    # cradle world position at q_arm: compute roughly
-    q[6:9] = [0.75, 0.0, 0.35]
+    q[2] = 1.0  # ball quat w
+    R, p = fk(model, jnp.asarray(q, model.mass.dtype))
+    Rg, pg = geom_world_poses(model, R, p)
+    cradle = np.asarray(pg[3])  # cradle box on arm2
+    ball_r = float(model.geom_size[4][0])
+    q[6:9] = cradle + np.array([0.0, 0.0, 0.015 + ball_r + 1e-3])
     return jnp.asarray(q, model.mass.dtype)
 
 

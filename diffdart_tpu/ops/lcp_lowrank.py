@@ -93,22 +93,29 @@ def _polish_lowrank(lam0, J, L_M, cfm, A, b, lo, hi, mu, fidx, passes=3):
     return best
 
 
-@partial(jax.custom_jvp, nondiff_argnums=(8, 9))
-def boxed_lcp_lowrank(J, M, cfm, b, lo, hi, mu, fidx, iters=8, passes=3):
+@partial(jax.custom_jvp, nondiff_argnums=(8, 9, 10))
+def boxed_lcp_lowrank(J, M, cfm, b, lo, hi, mu, fidx, iters=8, passes=3, fidx_pallas=None):
     """Boxed LCP with A = J M^-1 J^T + cfm I formed internally.
-    Returns lambda (D,)."""
+    fidx_pallas: static tuple of fidx values — when given, the warm-start
+    sweeps run in the fused Pallas TPU kernel (A stays in VMEM across all
+    iterations) instead of XLA matvecs. Returns lambda (D,)."""
     L_M = cholesky_small(M)
     W = cho_solve_small(L_M, J.T)  # (nv, D) = Minv J^T
     A = J @ W + cfm * jnp.eye(J.shape[0], dtype=J.dtype)
-    lam = _jacobi(A, b, lo, hi, mu, fidx, iters)
+    if fidx_pallas is not None:
+        from diffdart_tpu.ops.pallas_lcp import jacobi_sweeps_pallas_single
+
+        lam = jacobi_sweeps_pallas_single(A, b, lo, hi, mu, fidx_pallas, iters)
+    else:
+        lam = _jacobi(A, b, lo, hi, mu, fidx, iters)
     return _polish_lowrank(lam, J, L_M, cfm, A, b, lo, hi, mu, fidx, passes)
 
 
 @boxed_lcp_lowrank.defjvp
-def _lowrank_jvp(iters, passes, primals, tangents):
+def _lowrank_jvp(iters, passes, fidx_pallas, primals, tangents):
     J, M, cfm, b, lo, hi, mu, fidx = primals
     dJ, dM, dcfm, db, dlo, dhi, dmu, _ = tangents
-    lam = boxed_lcp_lowrank(J, M, cfm, b, lo, hi, mu, fidx, iters, passes)
+    lam = boxed_lcp_lowrank(J, M, cfm, b, lo, hi, mu, fidx, iters, passes, fidx_pallas)
 
     dtype = J.dtype
     D, nv = J.shape

@@ -47,13 +47,21 @@ def step_constrained(model: Model, state: State, tau=None) -> State:
     if lcp.A.shape[0] == 0:
         v_new = v_star
     else:
-        if model.contact_solver == "lowrank":
+        if model.contact_solver in ("lowrank", "lowrank_pallas"):
+            from diffdart_tpu.constraints.assembly import static_fidx
             from diffdart_tpu.ops.lcp_lowrank import boxed_lcp_lowrank
 
+            # 'lowrank_pallas': fused-VMEM Pallas sweeps. Measured SLOWER than
+            # the XLA path under per-env vmap (grid overhead dominates the
+            # tiny per-env blocks: 10.5ms vs 6.6ms at B=4096, D=42), so the
+            # default stays XLA; the kernel is kept for the batched-block
+            # execution path and as the template for future fusion work.
+            use_pallas = model.contact_solver == "lowrank_pallas" and jax.default_backend() == "tpu"
+            fidx_pallas = static_fidx(model) if use_pallas else None
             lam = boxed_lcp_lowrank(
                 lcp.J, M, jnp.asarray(model.contact_cfm, dtype), lcp.b,
                 lcp.lo, lcp.hi, lcp.mu, lcp.fidx,
-                model.contact_iters, 3 if model.lcp_polish else 0,
+                model.contact_iters, 3 if model.lcp_polish else 0, fidx_pallas,
             )
         else:
             lam = boxed_lcp(

@@ -35,7 +35,11 @@ def main():
     def tc(x):
         return -20.0 * x[0] - 5.0 * x[m.nq + 0]  # maximize height + upward velocity
 
-    res = jax.jit(lambda u: ilqr(f, rc, tc, x0, u, iters=40))(jnp.zeros((60, 2)))
+    # warm-start with an out-of-phase pumping motion (the jump requires a
+    # coordinated crouch-extend cycle that zero controls cannot discover)
+    t = jnp.arange(60)[:, None] * 5e-3
+    us0 = 2.5 * jnp.sin(2 * jnp.pi * 2.5 * t + jnp.array([[0.0, 3.14]]))
+    res = jax.jit(lambda u: ilqr(f, rc, tc, x0, u, iters=40))(us0)
     apex = float(jnp.max(res.xs[:, 0]))
     print(f"worm root height: start {float(x0[0]):.3f} -> apex {apex:.3f} m")
     try:
