@@ -118,7 +118,7 @@ class Model:
     geom_restitution: jnp.ndarray = None  # (ngeom,)
 
     # ---- contact solver configuration (static) ----
-    contact_iters: int = struct.field(pytree_node=False, default=6)
+    contact_iters: int = struct.field(pytree_node=False, default=4)
     contact_solver: str = struct.field(pytree_node=False, default="lowrank")
     lcp_polish: bool = struct.field(pytree_node=False, default=True)
     contact_cfm: float = struct.field(pytree_node=False, default=1e-6)

@@ -1,6 +1,7 @@
 from diffdart_tpu.io.urdf import load_urdf_into_builder, parse_urdf  # noqa: F401
 from diffdart_tpu.io.skel import load_skel_into_builder  # noqa: F401
 from diffdart_tpu.io.mjcf import load_mjcf_into_builder  # noqa: F401
+from diffdart_tpu.io.sdf import load_sdf_into_builder  # noqa: F401
 
 
 def load_into_builder(builder, path: str, **kw):
@@ -12,6 +13,8 @@ def load_into_builder(builder, path: str, **kw):
         return load_urdf_into_builder(builder, p, **kw)
     if p.endswith(".skel"):
         return load_skel_into_builder(builder, p, **kw)
+    if p.endswith(".sdf") or p.endswith(".world"):
+        return load_sdf_into_builder(builder, p, **kw)
     if p.endswith(".xml") or p.strip().startswith("<"):
         # sniff the root tag: <robot> = URDF, <mujoco> = MJCF, <world>/<skel> = SKEL
         text = open(p).read() if os.path.exists(p) else p

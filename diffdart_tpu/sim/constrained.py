@@ -61,7 +61,7 @@ def step_constrained(model: Model, state: State, tau=None) -> State:
             lam = boxed_lcp_lowrank(
                 lcp.J, M, jnp.asarray(model.contact_cfm, dtype), lcp.b,
                 lcp.lo, lcp.hi, lcp.mu, lcp.fidx,
-                model.contact_iters, 3 if model.lcp_polish else 0, fidx_pallas,
+                model.contact_iters, 2 if model.lcp_polish else 0, fidx_pallas,
             )
         else:
             lam = boxed_lcp(

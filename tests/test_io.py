@@ -185,6 +185,51 @@ class TestMJCF:
         np.testing.assert_allclose(qdd, dj.qacc, atol=1e-7)
 
 
+SDF_PENDULUM = """
+<sdf version="1.7"><world name="w"><model name="pend">
+  <link name="base">
+    <pose>0 0 1 0 0 0</pose>
+    <inertial><mass>2.0</mass><inertia><ixx>0.02</ixx><iyy>0.02</iyy><izz>0.02</izz></inertia></inertial>
+    <collision name="c"><geometry><box><size>0.2 0.2 0.1</size></box></geometry></collision>
+  </link>
+  <link name="arm">
+    <pose>0.3 0 1 0 0 0</pose>
+    <inertial><mass>0.8</mass><pose>0.2 0 0 0 0 0</pose>
+      <inertia><ixx>0.005</ixx><iyy>0.02</iyy><izz>0.02</izz></inertia></inertial>
+    <collision name="c2"><geometry><cylinder><radius>0.03</radius><length>0.4</length></cylinder></geometry></collision>
+  </link>
+  <joint name="root" type="fixed"><parent>world</parent><child>base</child></joint>
+  <joint name="j1" type="revolute">
+    <parent>base</parent><child>arm</child>
+    <axis><xyz>0 1 0</xyz><limit><lower>-1.2</lower><upper>1.2</upper></limit>
+      <dynamics><damping>0.05</damping></dynamics></axis>
+  </joint>
+</model></world></sdf>
+"""
+
+
+class TestSDF:
+    def test_load_and_simulate(self):
+        from diffdart_tpu.dynamics.model import make_state
+        from diffdart_tpu.io.sdf import load_sdf_into_builder
+        from diffdart_tpu.sim import step
+
+        b = ModelBuilder()
+        load_sdf_into_builder(b, SDF_PENDULUM)
+        m = b.finalize()
+        assert m.nbody == 2
+        assert m.jtype[0] == JointType.WELD and m.jtype[1] == JointType.REVOLUTE
+        np.testing.assert_allclose(np.asarray(m.mass), [2.0, 0.8])
+        assert float(m.q_lo[0]) == -1.2 and float(m.damping[0]) == 0.05
+        # base placed at z=1, arm offset +0.3 in x
+        np.testing.assert_allclose(np.asarray(m.X_pos[0]), [0, 0, 1], atol=1e-12)
+        np.testing.assert_allclose(np.asarray(m.X_pos[1]), [0.3, 0, 0], atol=1e-12)
+        s = make_state(m)
+        for _ in range(10):
+            s = step(m, s)
+        assert np.all(np.isfinite(np.asarray(s.q)))
+
+
 class TestSkel:
     def test_load_pendulum(self):
         b = ModelBuilder()
