@@ -9,7 +9,8 @@ as dense batched matmuls on the MXU).
 
 Row layout (static):
   [ nc normals | nc tangent-1 | nc tangent-2 | 2*nlim limits |
-    nservo servo rows | nfric joint-friction rows ]
+    nservo servo rows | nfric joint-friction rows |
+    3*nball ball-constraint rows | 6*nweld weld-constraint rows ]
 fidx couples each tangent row to its normal row. Servo rows
 (ServoMotorConstraint parity) drive dof velocity to the commanded target
 within +-force_limit*dt impulse bounds; joint-friction rows
@@ -81,6 +82,8 @@ def assemble_constraints(
     v_pre,
     qt,
     dt,
+    R_body=None,
+    p_body=None,
 ) -> LCPData:
     """Build the boxed LCP over [normals | tangents1 | tangents2 | limits].
 
@@ -97,7 +100,9 @@ def assemble_constraints(
     nlim = len(model.limited_dofs)
     nservo = len(model.servo_dofs)
     nfric = len(model.friction_dofs)
-    D = 3 * nc + 2 * nlim + nservo + nfric
+    nball = len(model.ball_pairs)
+    nweld = len(model.weld_pairs)
+    D = 3 * nc + 2 * nlim + nservo + nfric + 3 * nball + 6 * nweld
 
     rows = []
     # world row for mask lookup: body -1 -> zero mask
@@ -128,6 +133,38 @@ def assemble_constraints(
     if nfric:
         fr = jnp.asarray(np.array(model.friction_dofs), jnp.int32)
         rows += [jnp.zeros((nfric, model.nv), dtype).at[jnp.arange(nfric), fr].set(1.0)]
+    # bilateral ball / weld constraint rows (+ their stabilization errors)
+    ball_errs, weld_lin_errs, weld_ang_errs = [], [], []
+    if nball or nweld:
+        from diffdart_tpu.math.lie import log_so3, tf_apply
+
+        def body_pose(bi):
+            if bi < 0:
+                return jnp.eye(3, dtype=dtype), jnp.zeros(3, dtype)
+            return R_body[bi], p_body[bi]
+
+        for k, (ba, bb) in enumerate(model.ball_pairs):
+            Ra_, pa_ = body_pose(ba)
+            Rb_, pb_ = body_pose(bb)
+            aw = tf_apply(Ra_, pa_, model.ball_anchor_a[k])
+            bw = tf_apply(Rb_, pb_, model.ball_anchor_b[k])
+            mid = 0.5 * (aw + bw)
+            Jp = point_jacobian(Sw, bmask(ba), bmask(bb), mid)  # (nv, 3)
+            rows += [Jp.T]
+            ball_errs.append(aw - bw)
+        for k, (ba, bb) in enumerate(model.weld_pairs):
+            Ra_, pa_ = body_pose(ba)
+            Rb_, pb_ = body_pose(bb)
+            aw = tf_apply(Ra_, pa_, model.weld_anchor_a[k])
+            bw = tf_apply(Rb_, pb_, model.weld_anchor_b[k])
+            mid = 0.5 * (aw + bw)
+            Jp = point_jacobian(Sw, bmask(ba), bmask(bb), mid)
+            J_ang = (bmask(ba) - bmask(bb))[:, None] * Sw[:, :3]  # (nv, 3)
+            rows += [Jp.T, J_ang.T]
+            weld_lin_errs.append(aw - bw)
+            # orientation error: E = R_a rel R_b^T should be identity
+            E_rot = Ra_ @ model.weld_rel_rot[k] @ Rb_.T
+            weld_ang_errs.append(log_so3(E_rot))
     J = jnp.concatenate(rows, axis=0) if rows else jnp.zeros((0, model.nv), dtype)
 
     A = J @ Minv @ J.T
@@ -198,6 +235,24 @@ def assemble_constraints(
         mu_parts += [jnp.zeros((nfric,), dtype)]
         fidx_parts += [jnp.full((nfric,), -1, jnp.int32)]
         valid_parts += [jnp.ones((nfric,), bool)]
+    if nball or nweld:
+        # bilateral rows: unbounded impulses, Baumgarte-stabilized equalities
+        err_vec = []
+        for e in ball_errs:
+            err_vec.append(e)
+        for el, ea in zip(weld_lin_errs, weld_ang_errs):
+            err_vec.append(el)
+            err_vec.append(ea)
+        err = jnp.concatenate(err_vec)  # (3*nball + 6*nweld,)
+        nbi = err.shape[0]
+        start = 3 * nc + 2 * nlim + nservo + nfric
+        Jbi = J[start : start + nbi]
+        b_parts += [Jbi @ v_star + (model.baumgarte_erp / dt) * err]
+        lo_parts += [jnp.full((nbi,), -jnp.inf, dtype)]
+        hi_parts += [jnp.full((nbi,), jnp.inf, dtype)]
+        mu_parts += [jnp.zeros((nbi,), dtype)]
+        fidx_parts += [jnp.full((nbi,), -1, jnp.int32)]
+        valid_parts += [jnp.ones((nbi,), bool)]
 
     b = jnp.concatenate(b_parts) if b_parts else jnp.zeros((0,), dtype)
     lo = jnp.concatenate(lo_parts) if lo_parts else jnp.zeros((0,), dtype)

@@ -35,13 +35,23 @@ def _mask(model: Model, dtype):
 
 def kinematics_cache(model: Model, q, v):
     """Shared per-step kinematic quantities (the analogue of the reference's
-    'update all BodyNode transforms/velocities' dirty-flag pass)."""
+    'update all BodyNode transforms/velocities' dirty-flag pass).
+
+    Outputs carry checkpoint names so remat policies
+    (sim.rollout_checkpointed) can SAVE them: the BPTT backward pass then
+    skips re-running the FK sweep and inertia transforms."""
+    from jax.ad_checkpoint import checkpoint_name
+
     R, p = K.fk(model, q)
     Sw = K.world_jacobian(model, q, R, p)
     mask = _mask(model, q.dtype)
     V = K.body_velocities(model, Sw, v, mask)
     I_body = spatial_inertia(model.mass, model.com, model.inertia)
     I_w = transform_inertia(R, p, I_body)
+    R = checkpoint_name(R, "kin_R")
+    p = checkpoint_name(p, "kin_p")
+    Sw = checkpoint_name(Sw, "kin_Sw")
+    I_w = checkpoint_name(I_w, "kin_Iw")
     return dict(R=R, p=p, Sw=Sw, mask=mask, V=V, I_w=I_w)
 
 

@@ -135,6 +135,15 @@ class Model:
     # static dof index tuples for servo / dry-friction LCP rows
     servo_dofs: tuple = struct.field(pytree_node=False, default=())
     friction_dofs: tuple = struct.field(pytree_node=False, default=())
+    # dynamic bilateral constraints (BallJointConstraint / WeldJointConstraint
+    # parity): static body-pair lists + leaf anchor/rotation data
+    ball_pairs: tuple = struct.field(pytree_node=False, default=())  # ((ba, bb), ...)
+    weld_pairs: tuple = struct.field(pytree_node=False, default=())
+    ball_anchor_a: jnp.ndarray = None  # (nball, 3) anchor in body_a frame
+    ball_anchor_b: jnp.ndarray = None  # (nball, 3) anchor in body_b frame
+    weld_anchor_a: jnp.ndarray = None  # (nweld, 3)
+    weld_anchor_b: jnp.ndarray = None  # (nweld, 3)
+    weld_rel_rot: jnp.ndarray = None  # (nweld, 3, 3) R_a^T R_b at attachment
 
     @property
     def nbody(self) -> int:
@@ -418,7 +427,68 @@ class ModelBuilder:
             joint_friction=jnp.zeros(nv, dtype),
             servo_dofs=(),
             friction_dofs=(),
+            ball_anchor_a=jnp.zeros((0, 3), dtype),
+            ball_anchor_b=jnp.zeros((0, 3), dtype),
+            weld_anchor_a=jnp.zeros((0, 3), dtype),
+            weld_anchor_b=jnp.zeros((0, 3), dtype),
+            weld_rel_rot=jnp.zeros((0, 3, 3), dtype),
         )
+
+
+def _world_to_local(model: Model, q, body, point):
+    from diffdart_tpu.dynamics.kinematics import fk
+    from diffdart_tpu.math.lie import tf_inverse, tf_apply
+
+    if body < 0:
+        return jnp.asarray(point, model.mass.dtype)
+    R, p = fk(model, q)
+    Ri, pi = tf_inverse(R[body], p[body])
+    return tf_apply(Ri, pi, jnp.asarray(point, model.mass.dtype))
+
+
+def add_ball_constraint(model: Model, body_a: int, body_b: int, world_point, q=None) -> Model:
+    """Attach a dynamic ball-joint constraint between two bodies at a world
+    point (BallJointConstraint parity — used for grasping/closure loops).
+    Anchors are computed from the pose at q (default: neutral)."""
+    q = model.neutral_q() if q is None else q
+    aa = _world_to_local(model, q, body_a, world_point)[None]
+    ab = _world_to_local(model, q, body_b, world_point)[None]
+    dtype = model.mass.dtype
+    ball_a = aa if model.ball_anchor_a is None or model.ball_anchor_a.shape[0] == 0 else jnp.concatenate([model.ball_anchor_a, aa])
+    ball_b = ab if model.ball_anchor_b is None or model.ball_anchor_b.shape[0] == 0 else jnp.concatenate([model.ball_anchor_b, ab])
+    return model.replace(
+        ball_pairs=model.ball_pairs + ((body_a, body_b),),
+        ball_anchor_a=jnp.asarray(ball_a, dtype),
+        ball_anchor_b=jnp.asarray(ball_b, dtype),
+    )
+
+
+def add_weld_constraint(model: Model, body_a: int, body_b: int, q=None) -> Model:
+    """Rigidly weld two bodies together (WeldJointConstraint parity): 6
+    bilateral rows locking relative linear and angular velocity, with
+    Baumgarte stabilization toward the attachment-time relative pose."""
+    from diffdart_tpu.dynamics.kinematics import fk
+
+    q = model.neutral_q() if q is None else q
+    R, p = fk(model, q)
+    Ra = R[body_a] if body_a >= 0 else jnp.eye(3, dtype=model.mass.dtype)
+    pa = p[body_a] if body_a >= 0 else jnp.zeros(3, model.mass.dtype)
+    Rb = R[body_b] if body_b >= 0 else jnp.eye(3, dtype=model.mass.dtype)
+    pb = p[body_b] if body_b >= 0 else jnp.zeros(3, model.mass.dtype)
+    mid = 0.5 * (pa + pb)
+    aa = (Ra.T @ (mid - pa))[None]
+    ab = (Rb.T @ (mid - pb))[None]
+    rel = (Ra.T @ Rb)[None]
+    dtype = model.mass.dtype
+    wa = aa if model.weld_anchor_a is None or model.weld_anchor_a.shape[0] == 0 else jnp.concatenate([model.weld_anchor_a, aa])
+    wb = ab if model.weld_anchor_b is None or model.weld_anchor_b.shape[0] == 0 else jnp.concatenate([model.weld_anchor_b, ab])
+    wr = rel if model.weld_rel_rot is None or model.weld_rel_rot.shape[0] == 0 else jnp.concatenate([model.weld_rel_rot, rel])
+    return model.replace(
+        weld_pairs=model.weld_pairs + ((body_a, body_b),),
+        weld_anchor_a=jnp.asarray(wa, dtype),
+        weld_anchor_b=jnp.asarray(wb, dtype),
+        weld_rel_rot=jnp.asarray(wr, dtype),
+    )
 
 
 def enable_servo(model: Model, dofs, force_limit, target=None) -> Model:

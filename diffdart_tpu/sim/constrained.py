@@ -42,7 +42,8 @@ def step_constrained(model: Model, state: State, tau=None) -> State:
     contacts = collide_world(model, cache["R"], cache["p"])
     qt = D.q_tangent(model, q)
     lcp = assemble_constraints(
-        model, contacts, cache["Sw"], cache["mask"], Minv, v_star, v, qt, dt
+        model, contacts, cache["Sw"], cache["mask"], Minv, v_star, v, qt, dt,
+        R_body=cache["R"], p_body=cache["p"],
     )
     if lcp.A.shape[0] == 0:
         v_new = v_star

@@ -43,7 +43,8 @@ def step(model: Model, state: State, tau=None) -> State:
     unconstrained step when the model has no collision pairs or limits)."""
     has_limits = model.enable_joint_limits and model.has_joint_limits
     has_actuation_rows = bool(model.servo_dofs) or bool(model.friction_dofs)
-    if not model.col_pairs and not has_limits and not has_actuation_rows:
+    has_bilateral = bool(model.ball_pairs) or bool(model.weld_pairs)
+    if not model.col_pairs and not has_limits and not has_actuation_rows and not has_bilateral:
         return step_unconstrained(model, state, tau)
     from diffdart_tpu.sim.constrained import step_constrained
 
@@ -66,6 +67,9 @@ def rollout_checkpointed(model: Model, state: State, taus) -> State:
     trick — SURVEY.md §5) with the LCP impulse saved by name, so the backward
     pass re-runs kinematics/assembly but NOT the contact solve. Returns the
     final state only (per-step outputs would defeat the memory savings)."""
+    # measured: saving the kinematics names too ('kin_R', 'kin_p', 'kin_Sw',
+    # 'kin_Iw') gives no speedup — the backward is dominated by the LCP
+    # linearization, not the FK recompute — so save only the impulse
     policy = jax.checkpoint_policies.save_only_these_names("lcp_lam")
 
     def body(s, tau):
