@@ -30,6 +30,16 @@ class IdentityMapping:
         return z
 
 
+def solve_ik(model: Model, body: int, target_pos, q0, iters: int = 50, damping: float = 1e-4):
+    """Position IK for one body origin: find q with fk(q)[body] ~ target_pos
+    (InverseKinematics::solve parity — dart/dynamics/InverseKinematics.cpp,
+    JacobianDLS gradient method). Jittable; returns (q, err_norm)."""
+    mp = IKMapping(model, [body], iters=iters, damping=damping)
+    q = mp.unmap_pos(jnp.asarray(target_pos, q0.dtype), q0)
+    err = jnp.linalg.norm(mp.map_pos(q) - jnp.asarray(target_pos, q0.dtype))
+    return q, err
+
+
 class IKMapping:
     """Task-space mapping: z = world positions of selected body frames
     (neural::IKMapping parity). `unmap_pos` solves IK by damped Gauss-Newton
