@@ -99,16 +99,20 @@ def boxed_lcp_lowrank(J, M, cfm, b, lo, hi, mu, fidx, iters=8, passes=3, fidx_pa
     fidx_pallas: static tuple of fidx values — when given, the warm-start
     sweeps run in the fused Pallas TPU kernel (A stays in VMEM across all
     iterations) instead of XLA matvecs. Returns lambda (D,)."""
-    L_M = cholesky_small(M)
-    W = cho_solve_small(L_M, J.T)  # (nv, D) = Minv J^T
-    A = J @ W + cfm * jnp.eye(J.shape[0], dtype=J.dtype)
-    if fidx_pallas is not None:
-        from diffdart_tpu.ops.pallas_lcp import jacobi_sweeps_pallas_single
+    # full f32 matmul precision is REQUIRED here: TPU matmuls default to
+    # bf16 MXU passes, and the 1/cfm amplification in the Woodbury solve
+    # turns that 8e-3 relative error into exploding (1e17) gradients
+    with jax.default_matmul_precision("highest"):
+        L_M = cholesky_small(M)
+        W = cho_solve_small(L_M, J.T)  # (nv, D) = Minv J^T
+        A = J @ W + cfm * jnp.eye(J.shape[0], dtype=J.dtype)
+        if fidx_pallas is not None:
+            from diffdart_tpu.ops.pallas_lcp import jacobi_sweeps_pallas_single
 
-        lam = jacobi_sweeps_pallas_single(A, b, lo, hi, mu, fidx_pallas, iters)
-    else:
-        lam = _jacobi(A, b, lo, hi, mu, fidx, iters)
-    return _polish_lowrank(lam, J, L_M, cfm, A, b, lo, hi, mu, fidx, passes)
+            lam = jacobi_sweeps_pallas_single(A, b, lo, hi, mu, fidx_pallas, iters)
+        else:
+            lam = _jacobi(A, b, lo, hi, mu, fidx, iters)
+        return _polish_lowrank(lam, J, L_M, cfm, A, b, lo, hi, mu, fidx, passes)
 
 
 @boxed_lcp_lowrank.defjvp
@@ -116,6 +120,13 @@ def _lowrank_jvp(iters, passes, fidx_pallas, primals, tangents):
     J, M, cfm, b, lo, hi, mu, fidx = primals
     dJ, dM, dcfm, db, dlo, dhi, dmu, _ = tangents
     lam = boxed_lcp_lowrank(J, M, cfm, b, lo, hi, mu, fidx, iters, passes, fidx_pallas)
+    with jax.default_matmul_precision("highest"):
+        return lam, _lowrank_jvp_tangent(
+            J, M, cfm, b, lo, hi, mu, fidx, lam, dJ, dM, dcfm, db, dlo, dhi, dmu
+        )
+
+
+def _lowrank_jvp_tangent(J, M, cfm, b, lo, hi, mu, fidx, lam, dJ, dM, dcfm, db, dlo, dhi, dmu):
 
     dtype = J.dtype
     D, nv = J.shape
@@ -153,7 +164,7 @@ def _lowrank_jvp(iters, passes, fidx_pallas, primals, tangents):
 
     x = _solve_G_lowrank(-F * rho, J, L_M, cfm, free, fr_bound, s, mu, fidx)
     dlam = w + x + _apply_B(x, fr_bound, s, mu, fidx)
-    return lam, dlam
+    return dlam
 
 
 def _mat(t, like):
