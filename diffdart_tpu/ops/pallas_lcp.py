@@ -39,25 +39,25 @@ def _sweep_kernel(iters, A_ref, b_ref, lo_ref, hi_ref, mu_ref, isfr_ref, E_ref, 
     rowsum = jnp.maximum(jnp.sum(jnp.abs(A), axis=2), 1e-12)
     scale = jnp.clip(diag / rowsum, 0.3, 0.9) / diag  # (BB, D)
 
-    lam = jnp.zeros_like(b)
-    for _ in range(iters):
-        for phase_fr in (False, True):
-            r = jax.lax.dot_general(
-                A, lam,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).astype(dtype) + b
-            cand = lam - r * scale
-            lam_n = jax.lax.dot_general(
-                lam, E,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(dtype)
-            lo_eff = jnp.where(is_fr[None, :] > 0, -mu * lam_n, lo)
-            hi_eff = jnp.where(is_fr[None, :] > 0, mu * lam_n, hi)
-            cand = jnp.clip(cand, lo_eff, hi_eff)
-            mask = is_fr[None, :] if phase_fr else (1.0 - is_fr)[None, :]
-            lam = jnp.where(mask > 0, cand, lam)
+    def half_sweep(lam, fr_phase):
+        # batched matvec as multiply+reduce: Mosaic does not lower batch-dim
+        # dot_general, and operands are VMEM-resident so the VPU reduce is cheap
+        r = jnp.sum(A * lam[:, None, :], axis=2) + b
+        cand = lam - r * scale
+        lam_n = jnp.sum(lam[:, None, :] * E[None, :, :], axis=2)
+        lo_eff = jnp.where(is_fr[None, :] > 0, -mu * lam_n, lo)
+        hi_eff = jnp.where(is_fr[None, :] > 0, mu * lam_n, hi)
+        cand = jnp.clip(cand, lo_eff, hi_eff)
+        mask = is_fr[None, :] * fr_phase + (1.0 - is_fr)[None, :] * (1.0 - fr_phase)
+        return jnp.where(mask > 0, cand, lam)
+
+    def sweep(_, lam):
+        # fori_loop bounds live temporaries (the fully unrolled version
+        # overflowed scoped VMEM at 8 iterations)
+        lam = half_sweep(lam, jnp.asarray(0.0, dtype))
+        return half_sweep(lam, jnp.asarray(1.0, dtype))
+
+    lam = jax.lax.fori_loop(0, iters, sweep, jnp.zeros_like(b))
     lam_ref[:] = lam
 
 
@@ -71,8 +71,10 @@ def jacobi_sweeps_pallas(A, b, lo, hi, mu, fidx: tuple, iters: int = 6, interpre
     hi = jnp.where(jnp.isfinite(hi), hi, jnp.asarray(3.4e38, dtype))
     lo = jnp.where(jnp.isfinite(lo), lo, jnp.asarray(-3.4e38, dtype))
 
-    # block envs so an A block fits comfortably in VMEM (~2 MB budget)
-    bb = max(8, min(B, (2 * 1024 * 1024) // max(D * D * 4, 1)))
+    # block envs so an A block + mul-reduce temporaries + double buffering fit
+    # in 16M VMEM, accounting for last-dim padding to 128 lanes
+    D_padded = max(D, 128)
+    bb = max(8, min(B, (512 * 1024) // max(D * D_padded * 4, 1)))
     bb = 1 << (bb.bit_length() - 1)  # power of two
     bb = min(bb, B)
     pad = (-B) % bb
