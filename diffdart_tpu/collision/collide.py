@@ -11,7 +11,6 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
-import numpy as np
 
 from diffdart_tpu.collision import narrowphase as NP
 from diffdart_tpu.dynamics.model import GeomType, Model

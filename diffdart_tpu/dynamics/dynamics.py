@@ -20,7 +20,6 @@ All functions are single-env; batch with vmap.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from diffdart_tpu.dynamics import kinematics as K

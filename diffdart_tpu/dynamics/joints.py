@@ -20,7 +20,6 @@ Conventions:
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from diffdart_tpu.dynamics.model import JointType

@@ -18,9 +18,8 @@ child body frame coincides with the joint's successor frame (URDF convention).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence
+from typing import Any
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct

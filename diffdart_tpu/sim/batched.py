@@ -23,7 +23,7 @@ from diffdart_tpu.collision import collide_world
 from diffdart_tpu.constraints.assembly import assemble_constraints, static_fidx
 from diffdart_tpu.dynamics import dynamics as D
 from diffdart_tpu.dynamics.model import Model, State
-from diffdart_tpu.ops.lcp import _nat_residual
+
 from diffdart_tpu.ops.lcp_lowrank import _polish_lowrank
 from diffdart_tpu.ops.smalllinalg import cholesky_small, cho_solve_small
 

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from diffdart_tpu.dynamics import dynamics as D
 from diffdart_tpu.dynamics.model import Model, ModelBuilder, State, make_state

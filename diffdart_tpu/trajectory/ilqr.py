@@ -12,7 +12,6 @@ this solver targets; use tangent-space shooting for free-floating bases).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
