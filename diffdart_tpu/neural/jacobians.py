@@ -9,7 +9,9 @@ GROUP_INERTIAS).
 
 Where the reference records impulse tests during the LCP solve and assembles
 these matrices by hand (ConstrainedGroupGradientMatrices), here they are
-jax.jacrev/jacfwd of the SAME step function whose LCP carries an
+jax.jacrev of the SAME step function (the contact solver exposes a
+reverse-optimized custom_vjp by default and a custom_jvp variant,
+ops.lcp_lowrank.boxed_lcp_lowrank_jvp, for forward-mode consumers) whose LCP carries an
 implicit-function-theorem custom_vjp — one code path for simulation and
 differentiation. `backprop` is a single VJP (no Jacobian materialization),
 which is what BPTT training loops should use; the full matrices exist for
@@ -68,10 +70,10 @@ def timestep_jacobians(model: Model, state: State, tau=None) -> TimestepJacobian
         return dq_out, s.v
 
     zeros_dq = jnp.zeros(model.nv, dtype)
-    Jq = jax.jacfwd(lambda dq: out_of(dq, v, tau, model.mass))(zeros_dq)
-    Jv = jax.jacfwd(lambda v_: out_of(zeros_dq, v_, tau, model.mass))(v)
-    Jf = jax.jacfwd(lambda t_: out_of(zeros_dq, v, t_, model.mass))(tau)
-    Jm = jax.jacfwd(lambda mass: out_of(zeros_dq, v, tau, mass)[1])(model.mass)
+    Jq = jax.jacrev(lambda dq: out_of(dq, v, tau, model.mass))(zeros_dq)
+    Jv = jax.jacrev(lambda v_: out_of(zeros_dq, v_, tau, model.mass))(v)
+    Jf = jax.jacrev(lambda t_: out_of(zeros_dq, v, t_, model.mass))(tau)
+    Jm = jax.jacrev(lambda mass: out_of(zeros_dq, v, tau, mass)[1])(model.mass)
     return TimestepJacobians(
         pos_pos=Jq[0],
         pos_vel=Jq[1],
@@ -122,17 +124,17 @@ def jacobian_wrt(model: Model, state: State, tau, wrt: str):
 
     if wrt == "position":
         zeros_dq = jnp.zeros(model.nv, dtype)
-        return jax.jacfwd(
+        return jax.jacrev(
             lambda dq: stepped(model, D.integrate_positions(model, q, dq, jnp.asarray(1.0, dtype)), v, tau)
         )(zeros_dq)
     if wrt == "velocity":
-        return jax.jacfwd(lambda v_: stepped(model, q, v_, tau))(v)
+        return jax.jacrev(lambda v_: stepped(model, q, v_, tau))(v)
     if wrt == "force":
-        return jax.jacfwd(lambda t_: stepped(model, q, v, t_))(tau)
+        return jax.jacrev(lambda t_: stepped(model, q, v, t_))(tau)
     if wrt == "group_masses":
-        return jax.jacfwd(lambda p: stepped(model.replace(mass=p), q, v, tau))(model.mass)
+        return jax.jacrev(lambda p: stepped(model.replace(mass=p), q, v, tau))(model.mass)
     if wrt == "group_coms":
-        return jax.jacfwd(lambda p: stepped(model.replace(com=p), q, v, tau))(model.com)
+        return jax.jacrev(lambda p: stepped(model.replace(com=p), q, v, tau))(model.com)
     if wrt == "group_inertias":
-        return jax.jacfwd(lambda p: stepped(model.replace(inertia=p), q, v, tau))(model.inertia)
+        return jax.jacrev(lambda p: stepped(model.replace(inertia=p), q, v, tau))(model.inertia)
     raise ValueError(f"unknown wrt: {wrt}")

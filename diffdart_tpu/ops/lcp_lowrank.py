@@ -93,8 +93,7 @@ def _polish_lowrank(lam0, J, L_M, cfm, A, b, lo, hi, mu, fidx, passes=3):
     return best
 
 
-@partial(jax.custom_jvp, nondiff_argnums=(8, 9, 10))
-def boxed_lcp_lowrank(J, M, cfm, b, lo, hi, mu, fidx, iters=8, passes=3, fidx_pallas=None):
+def _solve_impl(J, M, cfm, b, lo, hi, mu, fidx, iters, passes, fidx_pallas):
     """Boxed LCP with A = J M^-1 J^T + cfm I formed internally.
     fidx_pallas: static tuple of fidx values — when given, the warm-start
     sweeps run in the fused Pallas TPU kernel (A stays in VMEM across all
@@ -115,11 +114,55 @@ def boxed_lcp_lowrank(J, M, cfm, b, lo, hi, mu, fidx, iters=8, passes=3, fidx_pa
         return _polish_lowrank(lam, J, L_M, cfm, A, b, lo, hi, mu, fidx, passes)
 
 
-@boxed_lcp_lowrank.defjvp
+# ---------------------------------------------------------------------------
+# Two AD wrappers over the same implementation and the same linear IFT rule:
+#
+#  * boxed_lcp_lowrank (default, custom_vjp): residuals (inputs + lam) are
+#    STORED, and the backward pass is jax.linear_transpose of the tangent
+#    rule — so reverse-mode BPTT never re-runs the sweeps/polish.
+#  * boxed_lcp_lowrank_jvp (custom_jvp): supports jacfwd (forward-mode
+#    Jacobians); its rule recomputes the primal during linearization.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def boxed_lcp_lowrank(J, M, cfm, b, lo, hi, mu, fidx, iters=8, passes=3, fidx_pallas=None):
+    """Default reverse-mode-optimized entry point (see _solve_impl)."""
+    return _solve_impl(J, M, cfm, b, lo, hi, mu, fidx, iters, passes, fidx_pallas)
+
+
+def _vjp_fwd(J, M, cfm, b, lo, hi, mu, fidx, iters, passes, fidx_pallas):
+    lam = _solve_impl(J, M, cfm, b, lo, hi, mu, fidx, iters, passes, fidx_pallas)
+    return lam, (J, M, cfm, b, lo, hi, mu, fidx, lam)
+
+
+def _vjp_bwd(iters, passes, fidx_pallas, res, g):
+    J, M, cfm, b, lo, hi, mu, fidx, lam = res
+    with jax.default_matmul_precision("highest"):
+        def tangent_map(dJ, dM, dcfm, db, dlo, dhi, dmu):
+            return _lowrank_jvp_tangent(
+                J, M, cfm, b, lo, hi, mu, fidx, lam, dJ, dM, dcfm, db, dlo, dhi, dmu
+            )
+
+        transpose = jax.linear_transpose(tangent_map, J, M, cfm, b, lo, hi, mu)
+        dJ, dM, dcfm, db, dlo, dhi, dmu = transpose(g)
+    return (dJ, dM, dcfm, db, dlo, dhi, dmu, None)
+
+
+boxed_lcp_lowrank.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(8, 9, 10))
+def boxed_lcp_lowrank_jvp(J, M, cfm, b, lo, hi, mu, fidx, iters=8, passes=3, fidx_pallas=None):
+    """Forward-mode-capable variant (jacfwd); see _solve_impl."""
+    return _solve_impl(J, M, cfm, b, lo, hi, mu, fidx, iters, passes, fidx_pallas)
+
+
+@boxed_lcp_lowrank_jvp.defjvp
 def _lowrank_jvp(iters, passes, fidx_pallas, primals, tangents):
     J, M, cfm, b, lo, hi, mu, fidx = primals
     dJ, dM, dcfm, db, dlo, dhi, dmu, _ = tangents
-    lam = boxed_lcp_lowrank(J, M, cfm, b, lo, hi, mu, fidx, iters, passes, fidx_pallas)
+    lam = _solve_impl(J, M, cfm, b, lo, hi, mu, fidx, iters, passes, fidx_pallas)
     with jax.default_matmul_precision("highest"):
         return lam, _lowrank_jvp_tangent(
             J, M, cfm, b, lo, hi, mu, fidx, lam, dJ, dM, dcfm, db, dlo, dhi, dmu
