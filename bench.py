@@ -10,14 +10,16 @@ Runs on whatever jax.default_backend() is (TPU under the driver).
 """
 import json
 import os
+import sys
 import time
 
 import jax
 
 # persistent compile cache: the constrained-rollout grad program is expensive
 # to compile on the remote-compile tunnel; cache it across runs
-os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache", "device")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 import jax.numpy as jnp
@@ -102,5 +104,28 @@ def main():
     print(json.dumps(result))
 
 
+def _emit_error(exc: BaseException) -> None:
+    """The driver parses exactly one JSON line; never die rc!=0 without it.
+
+    Round-1 failure mode: a libtpu client/server version skew raised
+    FAILED_PRECONDITION during warmup and the driver recorded nothing.
+    """
+    line = {
+        "metric": "halfcheetah env-steps/sec/chip (fwd+grad, B=4096)",
+        "value": 0,
+        "unit": "env-steps/sec",
+        "vs_baseline": 0.0,
+        "error": f"{type(exc).__name__}: {exc}"[:2000],
+    }
+    print(json.dumps(line))
+
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 - must emit the JSON line
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        _emit_error(e)
+        sys.exit(0)

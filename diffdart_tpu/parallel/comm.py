@@ -19,11 +19,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 ENV_AXIS = "env"
 
 
-def make_mesh(n_devices: int | None = None, axis: str = ENV_AXIS) -> Mesh:
+def make_mesh(
+    n_devices: int | None = None, axis: str = ENV_AXIS, devices=None
+) -> Mesh:
     """1-D mesh over all (or the first n) devices; the single axis shards the
-    environment/batch dimension (pure data parallelism — SURVEY.md §2.4)."""
-    devs = jax.devices()
+    environment/batch dimension (pure data parallelism — SURVEY.md §2.4).
+
+    Pass `devices` to build the mesh on an explicit device list (e.g.
+    ``jax.devices("cpu")`` for a virtual host mesh regardless of the default
+    backend). Raises if fewer devices exist than requested — silently
+    truncating would validate nothing (round-1 VERDICT weak-spot #2).
+    """
+    devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"make_mesh: requested {n_devices} devices but only "
+                f"{len(devs)} are available ({[d.platform for d in devs]})"
+            )
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 

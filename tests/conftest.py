@@ -19,8 +19,32 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # persistent compile cache: the FD-twin tests compile many sizable programs;
-# caching makes repeated suite runs several times faster
-_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+# caching makes repeated suite runs several times faster.
+# The dir is keyed by a CPU-feature fingerprint: XLA:CPU AOT results are
+# machine-specific, and loading a cache written on a different host SIGILLs
+# (observed round 1: cache from an AVX512+AMX machine loaded on a plain-AVX2
+# host crashed the single-process suite).
+import hashlib  # noqa: E402
+
+
+def _machine_fingerprint() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.md5(platform.processor().encode()).hexdigest()[:10]
+
+
+_cache = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache",
+    f"cpu-{_machine_fingerprint()}",
+)
 os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)

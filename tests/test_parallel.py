@@ -1,0 +1,133 @@
+"""Multi-device data-parallel path (parallel/comm.py) on the 8-virtual-CPU mesh.
+
+SURVEY.md §2.4: env-parallelism is the one axis this framework adds over the
+reference (which is single-process Eigen + std::thread). These tests pin down
+the two contracts the driver's dryrun exercises:
+  1. sharded execution is numerically identical to unsharded vmap,
+  2. the replicated-param gradient equals the mean of per-shard gradients
+     (i.e. the XLA-inserted psum is a true mean over the env axis).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffdart_tpu.dynamics.model import State
+from diffdart_tpu.models.half_cheetah import half_cheetah, cheetah_init_q
+from diffdart_tpu.parallel.comm import data_parallel_grad, make_mesh, shard_batch
+from diffdart_tpu.sim import rollout
+
+
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def cheetah_batch():
+    B, T = 2 * N_DEV, 3
+    m = half_cheetah(dt=2e-3)
+    q0 = cheetah_init_q(m)
+    dtype = m.mass.dtype
+    key = jax.random.PRNGKey(3)
+    kq, kv = jax.random.split(key)
+    batch = State(
+        q=jnp.tile(q0, (B, 1)) + 0.01 * jax.random.normal(kq, (B, m.nq), dtype),
+        v=0.05 * jax.random.normal(kv, (B, m.nv), dtype),
+        t=jnp.zeros(B, dtype),
+    )
+    taus = 0.1 * jax.random.normal(jax.random.PRNGKey(7), (T, m.nv), dtype)
+    return m, batch, taus
+
+
+def _per_env_loss(m):
+    def fn(taus, state_batch):
+        def one_env(s):
+            final, _ = rollout(m, s, taus)
+            return final.q[1] ** 2 + 0.1 * jnp.sum(final.v**2)
+
+        return jax.vmap(one_env)(state_batch)
+
+    return fn
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) >= N_DEV, "conftest must provide 8 virtual CPU devices"
+    mesh = make_mesh(N_DEV)
+    assert mesh.devices.shape == (N_DEV,)
+
+
+def test_make_mesh_raises_on_too_few_devices():
+    with pytest.raises(ValueError, match="requested"):
+        make_mesh(len(jax.devices()) + 1)
+
+
+def test_sharded_loss_matches_vmap(cheetah_batch):
+    m, batch, taus = cheetah_batch
+    loss_fn = _per_env_loss(m)
+
+    # unsharded reference: plain vmap on one device
+    ref = jax.jit(loss_fn)(taus, batch)
+
+    mesh = make_mesh(N_DEV)
+    sharded = shard_batch(mesh, batch)
+    got = jax.jit(loss_fn)(taus, sharded)
+
+    # same program, same arithmetic -> bitwise identical per-env losses
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_data_parallel_grad_matches_unsharded(cheetah_batch):
+    m, batch, taus = cheetah_batch
+    loss_fn = _per_env_loss(m)
+
+    def total(taus, batch):
+        return jnp.mean(loss_fn(taus, batch))
+
+    ref_loss, ref_grad = jax.jit(jax.value_and_grad(total))(taus, batch)
+
+    mesh = make_mesh(N_DEV)
+    sharded = shard_batch(mesh, batch)
+    step_fn = data_parallel_grad(loss_fn, mesh)
+    loss, grad = step_fn(taus, sharded)
+
+    assert jnp.isfinite(loss)
+    np.testing.assert_allclose(np.asarray(loss), np.asarray(ref_loss), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(ref_grad), rtol=1e-9, atol=1e-12)
+
+
+def test_replicated_grad_is_mean_of_per_device_grads(cheetah_batch):
+    """grad wrt replicated params == mean over shards of per-shard grads."""
+    m, batch, taus = cheetah_batch
+    loss_fn = _per_env_loss(m)
+    B = batch.q.shape[0]
+    per_dev = B // N_DEV
+
+    mesh = make_mesh(N_DEV)
+    sharded = shard_batch(mesh, batch)
+    _, grad = data_parallel_grad(loss_fn, mesh)(taus, sharded)
+
+    # manual per-device gradients of the *same mean-loss* objective:
+    # mean over full batch = mean over devices of per-device means
+    def shard_loss(taus, shard_states):
+        return jnp.mean(loss_fn(taus, shard_states))
+
+    g_shards = []
+    for d in range(N_DEV):
+        sl = jax.tree.map(lambda x: x[d * per_dev : (d + 1) * per_dev], batch)
+        g_shards.append(jax.grad(shard_loss)(taus, sl))
+    manual = jnp.mean(jnp.stack(g_shards), axis=0)
+
+    # reduction order differs between the sharded psum and the host-side mean
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(manual), rtol=1e-7, atol=1e-10)
+
+
+def test_dryrun_multichip_inprocess():
+    """The driver entry point must succeed from an already-initialised process."""
+    import importlib.util, pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "_graft_entry_test",
+        pathlib.Path(__file__).resolve().parent.parent / "__graft_entry__.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(N_DEV)  # raises on failure
