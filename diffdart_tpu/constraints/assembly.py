@@ -49,7 +49,8 @@ def static_fidx(model: Model) -> tuple:
     nlim = len(model.limited_dofs)
     nservo = len(model.servo_dofs)
     nfric = len(model.friction_dofs)
-    out = [-1] * nc + list(range(nc)) + list(range(nc)) + [-1] * (2 * nlim + nservo + nfric)
+    nbi = 3 * len(model.ball_pairs) + 6 * len(model.weld_pairs)
+    out = [-1] * nc + list(range(nc)) + list(range(nc)) + [-1] * (2 * nlim + nservo + nfric + nbi)
     return tuple(out)
 
 

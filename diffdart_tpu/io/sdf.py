@@ -86,7 +86,9 @@ def load_sdf_into_builder(builder, path_or_xml: str, model_name: str | None = No
     """Load the first (or named) <model> of an SDF file/string."""
     root = ET.parse(path_or_xml).getroot() if os.path.exists(path_or_xml) else ET.fromstring(path_or_xml)
     if root.tag == "sdf":
-        scope = root.find("world") or root
+        # explicit None test: an Element's truth value is len(children)
+        w = root.find("world")
+        scope = w if w is not None else root
     else:
         scope = root
     models = scope.findall("model") if scope.find("model") is not None else root.findall(".//model")

@@ -12,16 +12,23 @@ import os
 
 
 def save_checkpoint(path: str, tree, step: int | None = None):
-    """Save a pytree checkpoint (orbax if available, else pickle of numpy)."""
+    """Save a pytree checkpoint (orbax if available, else pickle of numpy).
+
+    Only orbax *unavailability* falls back to pickle; a genuine orbax save
+    failure (bad tree, partial write, permissions) propagates so it can't
+    masquerade as a successful save in a different format.
+    """
     path = os.path.abspath(path)
     try:
         import orbax.checkpoint as ocp
-
+    except ImportError:
+        ocp = None
+    if ocp is not None:
         ckptr = ocp.PyTreeCheckpointer()
         target = os.path.join(path, f"step_{step}") if step is not None else path
         ckptr.save(target, tree, force=True)
         return target
-    except Exception:
+    else:
         import pickle
 
         import jax
@@ -36,7 +43,12 @@ def save_checkpoint(path: str, tree, step: int | None = None):
 
 
 def restore_checkpoint(path: str, like=None):
-    """Restore a checkpoint saved by save_checkpoint."""
+    """Restore a checkpoint saved by save_checkpoint.
+
+    SECURITY: the `.pkl` fallback uses pickle.load, which executes arbitrary
+    code from the file — restore only checkpoints you wrote yourself
+    (trusted-input-only path; orbax is the default and is safe).
+    """
     if path.endswith(".pkl") or os.path.isfile(path + ".pkl"):
         import pickle
 

@@ -52,7 +52,9 @@ class GUIWebsocketServer:
         self.port = None
 
     # -- public API (reference GUIWebsocketServer parity) -------------------
-    def serve(self, port: int = 8070, host: str = "0.0.0.0"):
+    def serve(self, port: int = 8070, host: str = "127.0.0.1"):
+        # loopback by default: this is an unauthenticated dev server; pass
+        # host="0.0.0.0" explicitly to expose it beyond the local machine
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._srv.bind((host, port))

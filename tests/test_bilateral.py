@@ -77,3 +77,28 @@ class TestWeldConstraint:
         rel = np.asarray(R[0].T @ R[1])
         np.testing.assert_allclose(rel, np.asarray(m.weld_rel_rot[0]), atol=5e-3)
         np.testing.assert_allclose(float(jnp.linalg.norm(p[1] - p[0])), 0.4, atol=5e-3)
+
+
+class TestRowLayout:
+    def test_static_fidx_covers_bilateral_rows(self):
+        """static_fidx length must equal the assembled LCP dimension D even
+        with ball/weld rows present (round-1 latent bug: bilateral rows were
+        omitted, so the Pallas path would get a wrong-length one-hot)."""
+        from diffdart_tpu.collision.collide import max_contacts
+        from diffdart_tpu.constraints.assembly import static_fidx
+
+        m, q0 = _two_free_bodies(dx=0.5)
+        m = add_ball_constraint(m, 0, 1, world_point=(0.25, 0.0, 0.0), q=q0)
+        m = add_weld_constraint(m, 0, 1, q=q0)
+        D = (
+            3 * max_contacts(m)
+            + 2 * len(m.limited_dofs)
+            + len(m.servo_dofs)
+            + len(m.friction_dofs)
+            + 3 * len(m.ball_pairs)
+            + 6 * len(m.weld_pairs)
+        )
+        fidx = static_fidx(m)
+        assert len(fidx) == D
+        # bilateral rows are not friction-coupled
+        assert all(f == -1 for f in fidx[-9:])
