@@ -12,6 +12,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from diffdart_tpu.collision import convex as CX
 from diffdart_tpu.collision import narrowphase as NP
 from diffdart_tpu.dynamics.model import GeomType, Model
 from diffdart_tpu.math.lie import tf_compose
@@ -36,7 +37,79 @@ _DISPATCH = {
     (_G.CYLINDER, _G.CAPSULE): (NP.capsule_capsule, 1),
     (_G.CYLINDER, _G.BOX): (NP.capsule_box, 3),
     (_G.CYLINDER, _G.CYLINDER): (NP.capsule_capsule, 1),
+    (_G.ELLIPSOID, _G.PLANE): (CX.ellipsoid_plane, 1),
+    (_G.SPHERE, _G.ELLIPSOID): (CX.sphere_ellipsoid, 1),
 }
+
+
+def _hull_args(model: Model, g: int):
+    """Padded hull buffers + static masks for a CONVEX geom (or a box viewed
+    as a hull)."""
+    import numpy as np
+
+    h = model.geom_hull[g]
+    if h >= 0:
+        HV = model.hull_verts.shape[1]
+        HF = model.hull_face_n.shape[1]
+        vmask = jnp.asarray(np.arange(HV) < model.hull_vcounts[h])
+        fmask = jnp.asarray(np.arange(HF) < model.hull_fcounts[h])
+        return (
+            model.hull_verts[h],
+            model.hull_face_n[h],
+            model.hull_face_b[h],
+            vmask,
+            fmask,
+        )
+    if model.geom_type[g] == _G.BOX:
+        return CX.box_as_hull(model.geom_size[g], model.mass.dtype)
+    raise NotImplementedError(f"geom {g} has no hull representation")
+
+
+# extended dispatch: pairs that need hull buffers (fn built per-pair inside
+# _pair_plan; slots listed here). Canonical order as keyed.
+_DISPATCH_HULL_SLOTS = {
+    (_G.CONVEX, _G.PLANE): 4,
+    (_G.SPHERE, _G.CONVEX): 1,
+    (_G.CAPSULE, _G.CONVEX): 3,
+    (_G.CYLINDER, _G.CONVEX): 3,  # capsule approximation (as cylinder-box)
+    (_G.BOX, _G.CONVEX): 4,
+    (_G.CONVEX, _G.CONVEX): 4,
+}
+
+
+def _make_hull_fn(model: Model, ta: int, tb: int, ga: int, gb: int):
+    """Build fn(Ra, pa, Rb, pb) -> (pos, n, depth, valid) for a hull pair.
+    Normal convention matches the primitive table: pushes geom A (first)
+    away from geom B (second)."""
+    if (ta, tb) == (_G.CONVEX, _G.PLANE):
+        def fn(Ra, pa, Rb, pb):
+            hv, _, _, vmask, _ = _hull_args(model, ga)
+            return CX.convex_plane(Ra, pa, hv, vmask, Rb, pb)
+
+        return fn
+    if (ta, tb) == (_G.SPHERE, _G.CONVEX):
+        def fn(Ra, pa, Rb, pb):
+            hv, hn, hb, _, fmask = _hull_args(model, gb)
+            return CX.sphere_convex(Ra, pa, model.geom_size[ga], Rb, pb, hv, hn, hb, fmask)
+
+        return fn
+    if (ta, tb) in ((_G.CAPSULE, _G.CONVEX), (_G.CYLINDER, _G.CONVEX)):
+        def fn(Ra, pa, Rb, pb):
+            hv, hn, hb, _, fmask = _hull_args(model, gb)
+            return CX.capsule_convex(Ra, pa, model.geom_size[ga], Rb, pb, hv, hn, hb, fmask)
+
+        return fn
+    if (ta, tb) in ((_G.BOX, _G.CONVEX), (_G.CONVEX, _G.CONVEX)):
+        def fn(Ra, pa, Rb, pb):
+            hva, hna, hba, vma, fma = _hull_args(model, ga)
+            hvb, hnb, hbb, vmb, fmb = _hull_args(model, gb)
+            return CX.convex_convex(
+                Ra, pa, hva, hna, hba, vma, fma,
+                Rb, pb, hvb, hnb, hbb, vmb, fmb,
+            )
+
+        return fn
+    raise NotImplementedError(f"no hull narrowphase for ({ta},{tb})")
 
 
 def _swap(out):
@@ -57,30 +130,37 @@ class Contacts(NamedTuple):
 
 
 def _pair_plan(model: Model):
-    """Static narrowphase plan: per pair -> (fn, slots, ga, gb, swapped)."""
+    """Static narrowphase plan: per pair ->
+    (kind, fn, slots, ga, gb, swapped) with kind in {'prim', 'hull'}."""
     plan = []
     for (a, b) in model.col_pairs:
         ta, tb = model.geom_type[a], model.geom_type[b]
         if (ta, tb) in _DISPATCH:
             fn, k = _DISPATCH[(ta, tb)]
-            plan.append((fn, k, a, b, False))
+            plan.append(("prim", fn, k, a, b, False))
         elif (tb, ta) in _DISPATCH:
             fn, k = _DISPATCH[(tb, ta)]
-            plan.append((fn, k, b, a, True))
+            plan.append(("prim", fn, k, b, a, True))
+        elif (ta, tb) in _DISPATCH_HULL_SLOTS:
+            k = _DISPATCH_HULL_SLOTS[(ta, tb)]
+            plan.append(("hull", _make_hull_fn(model, ta, tb, a, b), k, a, b, False))
+        elif (tb, ta) in _DISPATCH_HULL_SLOTS:
+            k = _DISPATCH_HULL_SLOTS[(tb, ta)]
+            plan.append(("hull", _make_hull_fn(model, tb, ta, b, a), k, b, a, True))
         else:
             raise NotImplementedError(f"no narrowphase for geom types ({ta},{tb})")
     return plan
 
 
 def max_contacts(model: Model) -> int:
-    return sum(k for (_, k, *_rest) in _pair_plan(model))
+    return sum(k for (_, _, k, *_rest) in _pair_plan(model))
 
 
 def contact_slots(model: Model):
     """Static per-slot metadata: (body_a, body_b) tuples of len max_contacts.
     body_a is the body pushed along +normal."""
     body_a, body_b = [], []
-    for (fn, k, ga, gb, swapped) in _pair_plan(model):
+    for (_, fn, k, ga, gb, swapped) in _pair_plan(model):
         a_body = model.geom_body[ga]
         b_body = model.geom_body[gb]
         body_a += [a_body] * k
@@ -111,8 +191,11 @@ def collide_world(model: Model, R_body, p_body) -> Contacts:
     'normal pushes body_a away from body_b'."""
     Rg, pg = geom_world_poses(model, R_body, p_body)
     pos_l, n_l, d_l, v_l, fr_l, re_l = [], [], [], [], [], []
-    for (fn, k, ga, gb, swapped) in _pair_plan(model):
-        pos, n, depth, valid = fn(Rg[ga], pg[ga], model.geom_size[ga], Rg[gb], pg[gb], model.geom_size[gb])
+    for (kind, fn, k, ga, gb, swapped) in _pair_plan(model):
+        if kind == "hull":
+            pos, n, depth, valid = fn(Rg[ga], pg[ga], Rg[gb], pg[gb])
+        else:
+            pos, n, depth, valid = fn(Rg[ga], pg[ga], model.geom_size[ga], Rg[gb], pg[gb], model.geom_size[gb])
         pos_l.append(pos)
         n_l.append(n)
         d_l.append(depth)

@@ -70,6 +70,9 @@ class GeomType:
     PLANE = 3  # static half-space: normal z in geom frame, passes through origin
     CYLINDER = 4
     ELLIPSOID = 5
+    # convex hull of a mesh (MeshShape/FCL parity the TPU way): padded
+    # vertex + face-plane buffers precomputed at build time (io/mesh.py)
+    CONVEX = 6
 
 
 @struct.dataclass
@@ -86,6 +89,11 @@ class Model:
     geom_type: tuple = struct.field(pytree_node=False)  # (ngeom,) GeomType
     # collision pair list (static): indices into geoms
     col_pairs: tuple = struct.field(pytree_node=False)  # ((g1, g2), ...)
+    # convex hulls: per-geom hull slot (-1 = not convex) + per-hull real
+    # vertex/face counts (padding masks are derived from these statically)
+    geom_hull: tuple = struct.field(pytree_node=False, default=())
+    hull_vcounts: tuple = struct.field(pytree_node=False, default=())
+    hull_fcounts: tuple = struct.field(pytree_node=False, default=())
 
     # ---- differentiable parameters (pytree leaves) ----
     # fixed transform: parent body frame -> joint predecessor frame
@@ -115,6 +123,11 @@ class Model:
     geom_pos: jnp.ndarray = None  # (ngeom, 3)
     geom_friction: jnp.ndarray = None  # (ngeom,) friction coefficient
     geom_restitution: jnp.ndarray = None  # (ngeom,)
+    # convex hull buffers (local geom frame), padded: verts by repeating
+    # vertex 0, faces by repeating face 0 (duplicates never change extrema)
+    hull_verts: jnp.ndarray = None  # (nhull, HV, 3)
+    hull_face_n: jnp.ndarray = None  # (nhull, HF, 3) outward normals, n·x <= b
+    hull_face_b: jnp.ndarray = None  # (nhull, HF)
 
     # ---- contact solver configuration (static) ----
     contact_iters: int = struct.field(pytree_node=False, default=4)
@@ -253,6 +266,7 @@ class _Geom:
     pos: Any
     friction: float
     restitution: float
+    verts: Any = None  # CONVEX only: raw vertex cloud (hulled at finalize)
 
 
 class ModelBuilder:
@@ -260,11 +274,12 @@ class ModelBuilder:
     a dart::dynamics::Skeleton body-by-body (see reference TestHelpers.hpp
     createTwoLinkRobot and DartLoader output)."""
 
-    def __init__(self, gravity=(0.0, 0.0, -9.81), dt=1e-3):
+    def __init__(self, gravity=(0.0, 0.0, -9.81), dt=1e-3, hull_max_verts: int = 32):
         self.bodies: list[_Body] = []
         self.geoms: list[_Geom] = []
         self.gravity = gravity
         self.dt = dt
+        self.hull_max_verts = hull_max_verts  # decimation cap for CONVEX geoms
         self._names: dict[str, int] = {}
         self.collision_filter: set = set()  # extra excluded geom pairs
 
@@ -314,12 +329,22 @@ class ModelBuilder:
         pos=(0.0, 0.0, 0.0),
         friction: float = 0.8,
         restitution: float = 0.0,
+        verts=None,
     ) -> int:
+        """For gtype=CONVEX pass `verts` (N,3) — mesh vertices in the geom
+        frame; the convex hull is precomputed at finalize and `size` is
+        replaced by the hull's AABB half-extents (broadphase bound)."""
         if rot is None:
             rot = np.eye(3)
+        if gtype == GeomType.CONVEX:
+            if verts is None:
+                raise ValueError("CONVEX geom requires verts")
+            verts = np.asarray(verts, np.float64)
+            lo, hi = verts.min(axis=0), verts.max(axis=0)
+            size = (hi - lo) / 2.0 + np.abs(hi + lo) / 2.0  # AABB bound about origin
         self.geoms.append(
             _Geom(body, gtype, np.asarray(size, np.float64), np.asarray(rot, np.float64),
-                  np.asarray(pos, np.float64), friction, restitution)
+                  np.asarray(pos, np.float64), friction, restitution, verts)
         )
         return len(self.geoms) - 1
 
@@ -387,6 +412,40 @@ class ModelBuilder:
             return jnp.asarray(np.stack([getattr(b, attr) for b in self.bodies]), dtype)
 
         ngeom = len(self.geoms)
+
+        # ---- convex hulls: hull + pad at build time (io/mesh.py) ----
+        geom_hull = []
+        hulls = []  # (verts, face_n, face_b)
+        for g in self.geoms:
+            if g.gtype == GeomType.CONVEX:
+                from diffdart_tpu.io.mesh import convex_hull
+
+                hv, hn, hb = convex_hull(g.verts, max_verts=self.hull_max_verts)
+                geom_hull.append(len(hulls))
+                hulls.append((hv, hn, hb))
+            else:
+                geom_hull.append(-1)
+        if hulls:
+            HV = max(h[0].shape[0] for h in hulls)
+            HF = max(h[1].shape[0] for h in hulls)
+            hull_verts = np.stack(
+                [np.concatenate([h[0], np.repeat(h[0][:1], HV - h[0].shape[0], 0)]) for h in hulls]
+            )
+            hull_face_n = np.stack(
+                [np.concatenate([h[1], np.repeat(h[1][:1], HF - h[1].shape[0], 0)]) for h in hulls]
+            )
+            hull_face_b = np.stack(
+                [np.concatenate([h[2], np.repeat(h[2][:1], HF - h[2].shape[0], 0)]) for h in hulls]
+            )
+            hull_vcounts = tuple(h[0].shape[0] for h in hulls)
+            hull_fcounts = tuple(h[1].shape[0] for h in hulls)
+        else:
+            hull_verts = np.zeros((0, 0, 3))
+            hull_face_n = np.zeros((0, 0, 3))
+            hull_face_b = np.zeros((0, 0))
+            hull_vcounts = ()
+            hull_fcounts = ()
+
         return Model(
             parent=tuple(b.parent for b in self.bodies),
             jtype=tuple(b.jtype for b in self.bodies),
@@ -418,6 +477,12 @@ class ModelBuilder:
             geom_pos=jnp.asarray(np.stack([g.pos for g in self.geoms]) if ngeom else np.zeros((0, 3)), dtype),
             geom_friction=jnp.asarray(np.array([g.friction for g in self.geoms]), dtype),
             geom_restitution=jnp.asarray(np.array([g.restitution for g in self.geoms]), dtype),
+            geom_hull=tuple(geom_hull),
+            hull_vcounts=hull_vcounts,
+            hull_fcounts=hull_fcounts,
+            hull_verts=jnp.asarray(hull_verts, dtype),
+            hull_face_n=jnp.asarray(hull_face_n, dtype),
+            hull_face_b=jnp.asarray(hull_face_b, dtype),
             has_joint_limits=bool(np.any(q_lo > -1e8) or np.any(q_hi < 1e8)),
             limited_dofs=tuple(int(i) for i in np.nonzero((q_lo > -1e8) | (q_hi < 1e8))[0]),
             has_springs=bool(np.any(spring != 0.0)),

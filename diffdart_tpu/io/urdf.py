@@ -8,10 +8,13 @@ frame, and the child link frame coincides with the joint frame — exactly
 this framework's Model convention, so the mapping is direct.
 
 Unsupported-by-URDF capsules: <cylinder> is imported as a capsule of the
-same radius/length (standard practice for contact-friendly approximations;
-the reference's FCL mesh path is deliberately replaced by primitive convex
-approximations — SURVEY.md §2.1 'FCL backend'). <mesh> collision geometry
-is approximated by its bounding sphere unless skip_meshes is set.
+same radius/length (standard practice for contact-friendly approximations).
+<mesh> collision geometry is loaded for real (STL/OBJ via io/mesh.py),
+reduced to a precomputed convex hull (GeomType.CONVEX) — the TPU-native
+replacement for the reference's FCL mesh backend
+(dart/collision/fcl/FCLCollisionDetector.cpp; SURVEY.md §2.1). Links with no
+<inertial> get exact inertia-from-shape (Shape::computeInertia parity,
+dynamics/shapes.py).
 """
 from __future__ import annotations
 
@@ -59,10 +62,16 @@ def _origin(el):
     return _rpy_to_mat(rpy), xyz
 
 
-def parse_urdf(path_or_str: str):
-    """Parse URDF XML into an intermediate dict tree (links, joints)."""
+def parse_urdf(path_or_str: str, mesh_dir: str | None = None, density: float = 1000.0):
+    """Parse URDF XML into an intermediate dict tree (links, joints).
+
+    mesh_dir: base directory for resolving <mesh filename=...> references
+    (defaults to the URDF's own directory when a path is given).
+    """
     if os.path.exists(path_or_str):
         root = ET.parse(path_or_str).getroot()
+        if mesh_dir is None:
+            mesh_dir = os.path.dirname(os.path.abspath(path_or_str))
     else:
         root = ET.fromstring(path_or_str)
     if root.tag != "robot":
@@ -72,8 +81,9 @@ def parse_urdf(path_or_str: str):
     for link in root.findall("link"):
         name = link.get("name")
         inertial = link.find("inertial")
+        has_inertial = inertial is not None
         mass, com_R, com_p, inertia = 1e-6, np.eye(3), np.zeros(3), np.eye(3) * 1e-9
-        if inertial is not None:
+        if has_inertial:
             com_R, com_p = _origin(inertial)
             m_el = inertial.find("mass")
             if m_el is not None:
@@ -91,9 +101,18 @@ def parse_urdf(path_or_str: str):
                 inertia = com_R @ I @ com_R.T
         geoms = []
         for col in link.findall("collision"):
-            g = _parse_geom(col)
+            g = _parse_geom(col, mesh_dir)
             if g is not None:
                 geoms.append(g)
+        if not has_inertial and geoms:
+            # Shape::computeInertia parity: derive exact mass properties
+            # from the collision geometry at uniform density
+            from diffdart_tpu.dynamics.shapes import body_mass_properties
+
+            try:
+                mass, com_p, inertia = body_mass_properties(geoms, density=density)
+            except ValueError:
+                pass  # massless (e.g. plane-only) links keep the epsilon default
         links[name] = dict(mass=mass, com=com_p, inertia=inertia, geoms=geoms)
 
     joints = []
@@ -122,7 +141,7 @@ def parse_urdf(path_or_str: str):
     return dict(name=root.get("name", "robot"), links=links, joints=joints)
 
 
-def _parse_geom(col_el):
+def _parse_geom(col_el, mesh_dir=None):
     geo = col_el.find("geometry")
     if geo is None:
         return None
@@ -138,12 +157,54 @@ def _parse_geom(col_el):
         L = float(geo.find("cylinder").get("length"))
         hl = max(L / 2.0 - r, 1e-4)  # capsule end-caps stay inside the cylinder length
         return dict(type=GeomType.CAPSULE, size=np.array([r, hl, 0]), R=R, p=p)
-    if geo.find("mesh") is not None:
-        # bounding-sphere approximation from the scale attribute (best-effort)
-        scale = _floats(geo.find("mesh").get("scale"), [1, 1, 1])
-        r = float(np.max(np.abs(scale))) * 0.05
-        return dict(type=GeomType.SPHERE, size=np.array([r, 0, 0]), R=R, p=p)
+    m_el = geo.find("mesh")
+    if m_el is not None:
+        from diffdart_tpu.io.mesh import load_mesh
+
+        scale = _floats(m_el.get("scale"), [1, 1, 1])
+        fname = m_el.get("filename", "")
+        path = resolve_mesh_path(fname, mesh_dir)
+        verts, faces = load_mesh(path, scale=scale)
+        lo, hi = verts.min(axis=0), verts.max(axis=0)
+        return dict(
+            type=GeomType.CONVEX,
+            size=(hi - lo) / 2.0,
+            R=R, p=p,
+            verts=verts, faces=faces,
+            from_mesh=True,
+        )
     return None
+
+
+def resolve_mesh_path(fname: str, mesh_dir: str | None) -> str:
+    """Resolve a URDF mesh reference: package:// and file:// URIs, absolute
+    paths, and paths relative to the URDF directory. Raises on miss — the
+    round-1 behaviour (fabricating a bounding sphere from the scale
+    attribute) silently produced wrong collision geometry."""
+    if fname.startswith("file://"):
+        fname = fname[len("file://"):]
+    candidates = []
+    if fname.startswith("package://"):
+        rel = fname[len("package://"):]
+        if mesh_dir:
+            # try the full package path and with the package name stripped
+            candidates.append(os.path.join(mesh_dir, rel))
+            parts = rel.split("/", 1)
+            if len(parts) == 2:
+                candidates.append(os.path.join(mesh_dir, parts[1]))
+    else:
+        if os.path.isabs(fname):
+            candidates.append(fname)
+        if mesh_dir:
+            candidates.append(os.path.join(mesh_dir, fname))
+        candidates.append(fname)
+    for c in candidates:
+        if os.path.exists(c):
+            return c
+    raise FileNotFoundError(
+        f"URDF mesh {fname!r} not found (searched {candidates}); "
+        "pass mesh_dir= or fix the asset path"
+    )
 
 
 def load_urdf_into_builder(
@@ -153,12 +214,14 @@ def load_urdf_into_builder(
     friction: float = 0.8,
     restitution: float = 0.0,
     skip_meshes: bool = False,
+    mesh_dir: str | None = None,
 ):
     """Emit bodies/geoms into a ModelBuilder in topological order.
 
     root_joint: joint type attaching the root link to the world (URDF leaves
-    this implicit; DART defaults to a FreeJoint)."""
-    urdf = parse_urdf(path)
+    this implicit; DART defaults to a FreeJoint).
+    skip_meshes: drop mesh-derived collision geoms (visual-only assets)."""
+    urdf = parse_urdf(path, mesh_dir=mesh_dir)
     links, joints = urdf["links"], urdf["joints"]
     children = {}
     has_parent = set()
@@ -189,10 +252,11 @@ def load_urdf_into_builder(
         )
         body_idx[link_name] = idx
         for g in L["geoms"]:
-            if skip_meshes and g is None:
+            if skip_meshes and g.get("from_mesh"):
                 continue
             builder.add_geom(idx, g["type"], size=g["size"], rot=g["R"], pos=g["p"],
-                             friction=friction, restitution=restitution)
+                             friction=friction, restitution=restitution,
+                             verts=g.get("verts"))
         for j in sorted(children.get(link_name, []), key=lambda x: x["child"]):
             add_link(j["child"], idx, j["type"], j["R"], j["p"], j["axis"],
                      j["lo"], j["hi"], j["damping"], j["name"])

@@ -70,18 +70,24 @@ def timestep_jacobians(model: Model, state: State, tau=None) -> TimestepJacobian
         return dq_out, s.v
 
     zeros_dq = jnp.zeros(model.nv, dtype)
-    Jq = jax.jacrev(lambda dq: out_of(dq, v, tau, model.mass))(zeros_dq)
-    Jv = jax.jacrev(lambda v_: out_of(zeros_dq, v_, tau, model.mass))(v)
-    Jf = jax.jacrev(lambda t_: out_of(zeros_dq, v, t_, model.mass))(tau)
-    Jm = jax.jacrev(lambda mass: out_of(zeros_dq, v, tau, mass)[1])(model.mass)
+    # one jacrev over all four inputs: a single forward pass + one vmapped VJP
+    # produces every Jacobian simultaneously (4x smaller XLA program than four
+    # separate jacrevs — the round-1 version cost 8+ min to compile for the
+    # 30-DOF humanoid and was the single-process suite's crash trigger)
+    # jit: eager dispatch of the huge linearized graph costs minutes for a
+    # 30-DOF model; compiled (and persistently cached) it runs in seconds
+    Jpos_out, Jvel_out = jax.jit(jax.jacrev(out_of, argnums=(0, 1, 2, 3)))(
+        zeros_dq, v, tau, model.mass
+    )
+    mass_vel = Jvel_out[3]
     return TimestepJacobians(
-        pos_pos=Jq[0],
-        pos_vel=Jq[1],
-        vel_pos=Jv[0],
-        vel_vel=Jv[1],
-        force_pos=Jf[0],
-        force_vel=Jf[1],
-        mass_vel=Jm.T if Jm.ndim == 2 else Jm,
+        pos_pos=Jpos_out[0],
+        pos_vel=Jvel_out[0],
+        vel_pos=Jpos_out[1],
+        vel_vel=Jvel_out[1],
+        force_pos=Jpos_out[2],
+        force_vel=Jvel_out[2],
+        mass_vel=mass_vel.T if mass_vel.ndim == 2 else mass_vel,
     )
 
 
