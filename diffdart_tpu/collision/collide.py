@@ -152,19 +152,40 @@ def _pair_plan(model: Model):
     return plan
 
 
+def _grouped_plan(model: Model):
+    """Group the pair plan by narrowphase function so each group runs as ONE
+    vmapped call (many-contact scenes — e.g. an n-cube stack with O(n²)
+    box-box pairs — trace a single SAT kernel instead of n² copies; XLA then
+    fuses/tiles the batch). This replaces the reference's broadphase+islands
+    (ConstraintSolver::updateConstraints): pair pruning is static (build
+    time), and runtime cost scales as vectorized batches, not program size.
+
+    Returns an ordered list of (kind, fn, k, members) with members =
+    [(ga, gb, swapped), ...]. Slot order = group order (both contact_slots
+    and collide_world derive from this, so layouts always agree)."""
+    groups: dict = {}
+    order = []
+    for (kind, fn, k, ga, gb, swapped) in _pair_plan(model):
+        key = fn if kind == "prim" else ("hull", ga, gb)  # hull fns stay 1:1
+        if key not in groups:
+            groups[key] = (kind, fn, k, [])
+            order.append(key)
+        groups[key][3].append((ga, gb, swapped))
+    return [groups[key] for key in order]
+
+
 def max_contacts(model: Model) -> int:
-    return sum(k for (_, _, k, *_rest) in _pair_plan(model))
+    return sum(k * len(members) for (_, _, k, members) in _grouped_plan(model))
 
 
 def contact_slots(model: Model):
     """Static per-slot metadata: (body_a, body_b) tuples of len max_contacts.
     body_a is the body pushed along +normal."""
     body_a, body_b = [], []
-    for (_, fn, k, ga, gb, swapped) in _pair_plan(model):
-        a_body = model.geom_body[ga]
-        b_body = model.geom_body[gb]
-        body_a += [a_body] * k
-        body_b += [b_body] * k
+    for (_, fn, k, members) in _grouped_plan(model):
+        for (ga, gb, swapped) in members:
+            body_a += [model.geom_body[ga]] * k
+            body_b += [model.geom_body[gb]] * k
     return tuple(body_a), tuple(body_b)
 
 
@@ -189,22 +210,43 @@ def collide_world(model: Model, R_body, p_body) -> Contacts:
 
     The swapped flag flips normals so that slot convention is always
     'normal pushes body_a away from body_b'."""
+    import jax
+
     Rg, pg = geom_world_poses(model, R_body, p_body)
     pos_l, n_l, d_l, v_l, fr_l, re_l = [], [], [], [], [], []
-    for (kind, fn, k, ga, gb, swapped) in _pair_plan(model):
+    for (kind, fn, k, members) in _grouped_plan(model):
         if kind == "hull":
+            # hull fns close over per-pair buffers; members is a single pair
+            (ga, gb, swapped) = members[0]
             pos, n, depth, valid = fn(Rg[ga], pg[ga], Rg[gb], pg[gb])
+        elif len(members) == 1:
+            (ga, gb, swapped) = members[0]
+            pos, n, depth, valid = fn(
+                Rg[ga], pg[ga], model.geom_size[ga], Rg[gb], pg[gb], model.geom_size[gb]
+            )
         else:
-            pos, n, depth, valid = fn(Rg[ga], pg[ga], model.geom_size[ga], Rg[gb], pg[gb], model.geom_size[gb])
+            # one vmapped narrowphase call for the whole same-type group
+            Ra = jnp.stack([Rg[ga] for (ga, _, _) in members])
+            pa = jnp.stack([pg[ga] for (ga, _, _) in members])
+            sa = jnp.stack([model.geom_size[ga] for (ga, _, _) in members])
+            Rb = jnp.stack([Rg[gb] for (_, gb, _) in members])
+            pb = jnp.stack([pg[gb] for (_, gb, _) in members])
+            sb = jnp.stack([model.geom_size[gb] for (_, gb, _) in members])
+            pos, n, depth, valid = jax.vmap(fn)(Ra, pa, sa, Rb, pb, sb)
+            pos = pos.reshape(-1, 3)
+            n = n.reshape(-1, 3)
+            depth = depth.reshape(-1)
+            valid = valid.reshape(-1)
         pos_l.append(pos)
         n_l.append(n)
         d_l.append(depth)
         v_l.append(valid)
         # combine: friction = min (ContactConstraint parity), restitution = product
-        fr = jnp.minimum(model.geom_friction[ga], model.geom_friction[gb])
-        re = model.geom_restitution[ga] * model.geom_restitution[gb]
-        fr_l.append(jnp.broadcast_to(fr, (k,)))
-        re_l.append(jnp.broadcast_to(re, (k,)))
+        for (ga, gb, swapped) in members:
+            fr = jnp.minimum(model.geom_friction[ga], model.geom_friction[gb])
+            re = model.geom_restitution[ga] * model.geom_restitution[gb]
+            fr_l.append(jnp.broadcast_to(fr, (k,)))
+            re_l.append(jnp.broadcast_to(re, (k,)))
     if not pos_l:
         z3 = jnp.zeros((0, 3), model.mass.dtype)
         z = jnp.zeros((0,), model.mass.dtype)

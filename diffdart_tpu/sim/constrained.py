@@ -18,7 +18,10 @@ from diffdart_tpu.dynamics.model import Model, State
 from diffdart_tpu.ops.lcp import boxed_lcp
 
 
-def step_constrained(model: Model, state: State, tau=None) -> State:
+def prepare_constrained(model: Model, state: State, tau=None):
+    """Everything before the LCP solve: (lcp, M, Minv, v_star, dt). Factored
+    out so oracle tests can drive the IDENTICAL pipeline with an external
+    per-step solver (tests/test_oracle_trajectory.py)."""
     q, v = state.q, state.v
     dtype = q.dtype
     if tau is None:
@@ -45,6 +48,13 @@ def step_constrained(model: Model, state: State, tau=None) -> State:
         model, contacts, cache["Sw"], cache["mask"], Minv, v_star, v, qt, dt,
         R_body=cache["R"], p_body=cache["p"],
     )
+    return lcp, M, Minv, v_star, dt
+
+
+def step_constrained(model: Model, state: State, tau=None) -> State:
+    q, v = state.q, state.v
+    dtype = q.dtype
+    lcp, M, Minv, v_star, dt = prepare_constrained(model, state, tau)
     if lcp.A.shape[0] == 0:
         v_new = v_star
     else:
