@@ -2,6 +2,7 @@ from diffdart_tpu.io.urdf import load_urdf_into_builder, parse_urdf  # noqa: F40
 from diffdart_tpu.io.skel import load_skel_into_builder  # noqa: F401
 from diffdart_tpu.io.mjcf import load_mjcf_into_builder  # noqa: F401
 from diffdart_tpu.io.sdf import load_sdf_into_builder  # noqa: F401
+from diffdart_tpu.io.vsk import load_vsk_into_builder, parse_vsk  # noqa: F401
 
 
 def load_into_builder(builder, path: str, **kw):
@@ -13,6 +14,8 @@ def load_into_builder(builder, path: str, **kw):
         return load_urdf_into_builder(builder, p, **kw)
     if p.endswith(".skel"):
         return load_skel_into_builder(builder, p, **kw)
+    if p.endswith(".vsk"):
+        return load_vsk_into_builder(builder, p, **kw)
     if p.endswith(".sdf") or p.endswith(".world"):
         return load_sdf_into_builder(builder, p, **kw)
     if p.endswith(".xml") or p.strip().startswith("<"):

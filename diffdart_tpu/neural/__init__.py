@@ -5,4 +5,9 @@ from diffdart_tpu.neural.jacobians import (  # noqa: F401
     backprop,
     jacobian_wrt,
 )
-from diffdart_tpu.neural.mappings import IKMapping, IdentityMapping, solve_ik  # noqa: F401
+from diffdart_tpu.neural.mappings import (  # noqa: F401
+    HierarchicalIK,
+    IKMapping,
+    IdentityMapping,
+    solve_ik,
+)

@@ -84,3 +84,66 @@ class IKMapping:
             return D.integrate_positions(m, q, dq, jnp.asarray(1.0, q.dtype))
 
         return jax.lax.fori_loop(0, self.iters, body, q_guess)
+
+
+class HierarchicalIK:
+    """Whole-body IK over PRIORITIZED task levels with nullspace projection
+    (dart/dynamics/HierarchicalIK.cpp parity): each level is a list of
+    (body, offset, target) point tasks; lower levels only move within the
+    nullspace of all higher levels. Fully jittable (fixed level structure).
+
+    levels: [[(body, offset_xyz), ...], ...] — highest priority first.
+    solve(targets, q0): targets is a list matching `levels`, each an
+    (n_tasks_i, 3) array of world targets.
+    """
+
+    def __init__(self, model: Model, levels, iters: int = 40, damping: float = 1e-4,
+                 step: float = 1.0):
+        self.model = model
+        self.levels = [tuple((int(b), jnp.asarray(off)) for (b, off) in lvl) for lvl in levels]
+        self.iters = iters
+        self.damping = damping
+        self.step = step
+
+    def _level_pos(self, q, lvl):
+        from diffdart_tpu.math.lie import tf_apply
+
+        R, p = K.fk(self.model, q)
+        return jnp.concatenate(
+            [tf_apply(R[b], p[b], jnp.asarray(off, q.dtype)) for (b, off) in lvl]
+        )
+
+    def _level_jac(self, q, lvl):
+        m = self.model
+
+        def f(dq):
+            q_ = D.integrate_positions(m, q, dq, jnp.asarray(1.0, q.dtype))
+            return self._level_pos(q_, lvl)
+
+        return jax.jacfwd(f)(jnp.zeros(m.nv, q.dtype))
+
+    def solve(self, targets, q0):
+        """Returns (q, per-level error norms)."""
+        m = self.model
+        dtype = q0.dtype
+        zs = [jnp.reshape(jnp.asarray(t, dtype), (-1,)) for t in targets]
+
+        def body(_, q):
+            dq = jnp.zeros(m.nv, dtype)
+            N = jnp.eye(m.nv, dtype=dtype)  # nullspace of higher levels
+            for lvl, z in zip(self.levels, zs):
+                err = z - self._level_pos(q, lvl)
+                J = self._level_jac(q, lvl) @ N  # restrict to remaining freedom
+                H = J @ J.T + self.damping * jnp.eye(J.shape[0], dtype=dtype)
+                dq_l = N @ (J.T @ jnp.linalg.solve(H, err - self._level_jac(q, lvl) @ dq))
+                dq = dq + dq_l
+                # shrink the nullspace: N <- N (I - J+ J)
+                Jp = J.T @ jnp.linalg.solve(H, J)
+                N = N @ (jnp.eye(m.nv, dtype=dtype) - Jp)
+            return D.integrate_positions(m, q, self.step * dq, jnp.asarray(1.0, dtype))
+
+        q = jax.lax.fori_loop(0, self.iters, body, q0)
+        errs = jnp.stack(
+            [jnp.linalg.norm(z - self._level_pos(q, lvl)) for lvl, z in zip(self.levels, zs)]
+        )
+        return q, errs

@@ -122,7 +122,12 @@ class MultipleShooting:
         rho0: float = 10.0,
         rho_growth: float = 4.0,
         optimizer=None,
+        intermediate_callback=None,
     ) -> ShootingResult:
+        """intermediate_callback(iteration, xs, us, cost): host-side hook
+        called after every outer AL iteration with the current trajectory —
+        Problem::registerIntermediateCallback parity (e.g. stream it to the
+        viewer with GUIWebsocketServer.renderTrajectory)."""
         opt = optimizer or optax.adam(5e-2)
         # initialize knots from the single-shooting rollout
         xs_init, _ = _rollout(self.f, x0, us_init, self.rc, self.tc)
@@ -154,11 +159,14 @@ class MultipleShooting:
         lam = jnp.zeros((self.K - 1, self.nx), x0.dtype)
         rho = jnp.asarray(rho0, x0.dtype)
         traces = []
-        for _ in range(outer_iters):
+        for it in range(outer_iters):
             params, defects, trace = inner(params, lam, rho)
             lam = lam + rho * defects
             rho = rho * rho_growth
             traces.append(trace)
+            if intermediate_callback is not None:
+                xs_it, cost_it = _rollout(self.f, x0, params[1], self.rc, self.tc)
+                intermediate_callback(it, xs_it, params[1], cost_it)
         knots, us = params
         xs, cost = _rollout(self.f, x0, us, self.rc, self.tc)
         return ShootingResult(

@@ -27,11 +27,41 @@ function resize(){ canvas.width = innerWidth; canvas.height = innerHeight; }
 addEventListener('resize', resize); resize();
 
 let dragging=false, px=0, py=0;
-canvas.addEventListener('mousedown', e=>{dragging=true;px=e.x;py=e.y});
-addEventListener('mouseup', ()=>dragging=false);
-addEventListener('mousemove', e=>{ if(dragging){ yaw+=(e.x-px)*0.008; pitch=Math.max(-1.5,Math.min(1.5,pitch+(e.y-py)*0.008)); px=e.x; py=e.y; }});
+let sock = null;            // live websocket (set below when streaming)
+let pickBody = -1;          // body grabbed with shift+drag
+function pickAt(x, y){      // nearest projected geom center -> its body
+  if(!scene || !frames.length) return -1;
+  const f = frames[Math.min(frameIdx, frames.length-1)];
+  let best = -1, bd = 40*40;  // 40 px pick radius
+  for(let i=0;i<scene.geoms.length;i++){
+    if(scene.geoms[i].body < 0) continue;
+    const P = project(f.poses[i].pos); if(!P) continue;
+    const d = (P[0]-x)*(P[0]-x) + (P[1]-y)*(P[1]-y);
+    if(d < bd){ bd = d; best = scene.geoms[i].body; }
+  }
+  return best;
+}
+canvas.addEventListener('mousedown', e=>{
+  if(e.shiftKey && sock){ pickBody = pickAt(e.x, e.y); }
+  else { dragging=true; }
+  px=e.x; py=e.y;
+});
+addEventListener('mouseup', ()=>{ dragging=false; pickBody=-1; });
+addEventListener('mousemove', e=>{
+  if(pickBody >= 0 && sock && sock.readyState === 1){
+    // screen-space drag -> world force in the camera plane (x right, z up)
+    const s = 2.0;  // N per pixel
+    const dx = (e.x-px)*s, dz = -(e.y-py)*s;
+    const fx = dx*Math.cos(yaw), fy = -dx*Math.sin(yaw);
+    sock.send(JSON.stringify({type:'drag', body:pickBody, force:[fx,fy,dz]}));
+    px=e.x; py=e.y;
+  } else if(dragging){ yaw+=(e.x-px)*0.008; pitch=Math.max(-1.5,Math.min(1.5,pitch+(e.y-py)*0.008)); px=e.x; py=e.y; }
+});
 canvas.addEventListener('wheel', e=>{ dist*=Math.exp(e.deltaY*0.001); });
-addEventListener('keydown', e=>{ if(e.key===' ') playing=!playing; });
+addEventListener('keydown', e=>{
+  if(e.key===' ') playing=!playing;
+  if(sock && sock.readyState === 1) sock.send(JSON.stringify({type:'key', key:e.key}));
+});
 
 function quatRot(q, v){ // q = [w,x,y,z]
   const [w,x,y,z]=q, [vx,vy,vz]=v;
@@ -81,12 +111,28 @@ function drawGeom(g, pose){
       const x=r*Math.cos(a), y=r*Math.sin(a);
       line(T([x,y,-h]), T([x,y,h]), col); }
     return; }
+  if(g.type==='convex' && g.verts){
+    // wireframe: connect each hull vertex to its 3 nearest neighbours
+    const V = g.verts;
+    for(let i=0;i<V.length;i++){
+      const ds = V.map((v,j)=>[ (v[0]-V[i][0])**2+(v[1]-V[i][1])**2+(v[2]-V[i][2])**2, j ])
+                  .sort((a,b)=>a[0]-b[0]);
+      for(let k=1;k<=3 && k<ds.length;k++) line(T(V[i]), T(V[ds[k][1]]), col);
+    }
+    return; }
 }
 
 function render(){
   ctx.fillStyle='#16161e'; ctx.fillRect(0,0,canvas.width,canvas.height);
   // axes
   line([0,0,0],[0.3,0,0],'#e45756'); line([0,0,0],[0,0.3,0],'#54a24b'); line([0,0,0],[0,0,0.3],'#4c78a8');
+  if(scene && ghost && ghost.length){   // optimizer iterate, ghost-rendered
+    ctx.globalAlpha = 0.35;
+    const gf = ghost[ghostIdx % ghost.length];
+    for(let i=0;i<scene.geoms.length;i++) drawGeom(scene.geoms[i], gf[i]);
+    ctx.globalAlpha = 1.0;
+    if(playing) ghostIdx++;
+  }
   if(scene && frames.length){
     const f = frames[Math.min(frameIdx, frames.length-1)];
     for(let i=0;i<scene.geoms.length;i++) drawGeom(scene.geoms[i], f.poses[i]);
@@ -99,12 +145,15 @@ function render(){
 const embeddedScene = __SCENE_JSON__;
 if (embeddedScene) { scene = embeddedScene; }
 const wsUrl = __WS_URL__;
+let ghost = null;  // mid-optimization trajectory (poses list per frame)
+let ghostIdx = 0;
 if (!scene && 'WebSocket' in window && wsUrl) {
-  const ws = new WebSocket(wsUrl);
-  ws.onmessage = ev => {
+  sock = new WebSocket(wsUrl);
+  sock.onmessage = ev => {
     const msg = JSON.parse(ev.data);
     if(msg.kind==='scene') { scene = msg; frames = []; }
     else if(msg.kind==='frame') { frames.push(msg); if(frames.length>2000) frames.shift(); frameIdx=frames.length-1; }
+    else if(msg.kind==='trajectory') { ghost = msg.frames; ghostIdx = 0; }
   };
 }
 render();

@@ -20,6 +20,7 @@ _TYPE_NAMES = {
     GeomType.PLANE: "plane",
     GeomType.CYLINDER: "cylinder",
     GeomType.ELLIPSOID: "ellipsoid",
+    GeomType.CONVEX: "convex",
 }
 
 _PALETTE = ["#4c78a8", "#f58518", "#54a24b", "#e45756", "#72b7b2", "#eeca3b", "#b279a2"]
@@ -29,15 +30,18 @@ def scene_description(model: Model) -> dict:
     geoms = []
     for g in range(model.ngeom):
         body = model.geom_body[g]
-        geoms.append(
-            dict(
-                id=g,
-                body=body,
-                type=_TYPE_NAMES[model.geom_type[g]],
-                size=np.asarray(model.geom_size[g]).tolist(),
-                color=_PALETTE[(body + 1) % len(_PALETTE)] if body >= 0 else "#999999",
-            )
+        entry = dict(
+            id=g,
+            body=body,
+            type=_TYPE_NAMES[model.geom_type[g]],
+            size=np.asarray(model.geom_size[g]).tolist(),
+            color=_PALETTE[(body + 1) % len(_PALETTE)] if body >= 0 else "#999999",
         )
+        if model.geom_type[g] == GeomType.CONVEX:
+            h = model.geom_hull[g]
+            nvert = model.hull_vcounts[h]
+            entry["verts"] = np.asarray(model.hull_verts[h][:nvert]).round(4).tolist()
+        geoms.append(entry)
     return dict(kind="scene", nbody=model.nbody, geoms=geoms)
 
 

@@ -37,6 +37,35 @@ def _ws_frame(payload: bytes) -> bytes:
     return header + payload
 
 
+def _recv_exact(conn: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = conn.recv(n - len(buf))
+        if not chunk:
+            raise OSError("socket closed")
+        buf += chunk
+    return buf
+
+
+def _ws_read_frame(conn: socket.socket):
+    """Read one client->server frame (RFC6455: client frames are masked).
+    Returns (opcode, payload) or (None, b'') on close."""
+    h = _recv_exact(conn, 2)
+    opcode = h[0] & 0x0F
+    masked = h[1] & 0x80
+    n = h[1] & 0x7F
+    if n == 126:
+        (n,) = struct.unpack("!H", _recv_exact(conn, 2))
+    elif n == 127:
+        (n,) = struct.unpack("!Q", _recv_exact(conn, 8))
+    mask = _recv_exact(conn, 4) if masked else b"\x00" * 4
+    data = _recv_exact(conn, n)
+    payload = bytes(b ^ mask[i % 4] for i, b in enumerate(data))
+    if opcode == 0x8:  # close
+        return None, b""
+    return opcode, payload
+
+
 class GUIWebsocketServer:
     """serve(port) then renderWorld(model, q) each step (or as often as you
     like); browsers at http://host:port see the live world."""
@@ -50,6 +79,12 @@ class GUIWebsocketServer:
         self._thread: threading.Thread | None = None
         self._running = False
         self.port = None
+        # interaction (reference GUIWebsocketServer::registerDragListener /
+        # registerKeydownListener / registerConnectionListener parity)
+        self._drag_listeners: list = []
+        self._key_listeners: list = []
+        self._conn_listeners: list = []
+        self._forces: dict[int, list] = {}  # body -> world force, via drags
 
     # -- public API (reference GUIWebsocketServer parity) -------------------
     def serve(self, port: int = 8070, host: str = "127.0.0.1"):
@@ -88,6 +123,65 @@ class GUIWebsocketServer:
             self._broadcast(self._scene_msg)
         frame = _ws_frame(json.dumps(state_frame(model, q, t)).encode())
         self._broadcast(frame)
+
+    def renderTrajectory(self, model, qs, tag="trajectory"):
+        """Stream a whole trajectory (e.g. the optimizer's current iterate —
+        Problem::registerIntermediateCallback parity): clients ghost-render
+        it behind the live state."""
+        if model is not self._model:
+            self._model = model
+            self._scene_msg = _ws_frame(json.dumps(scene_description(model)).encode())
+            self._broadcast(self._scene_msg)
+        msg = {
+            "kind": "trajectory",
+            "tag": tag,
+            "frames": [state_frame(model, q, 0.0)["poses"] for q in qs],
+        }
+        self._broadcast(_ws_frame(json.dumps(msg).encode()))
+
+    # -- interaction (client -> server) --------------------------------------
+    def registerDragListener(self, fn):
+        """fn(body: int, force_xyz: list[float]) on every drag message."""
+        self._drag_listeners.append(fn)
+
+    def registerKeydownListener(self, fn):
+        """fn(key: str) on every keydown message."""
+        self._key_listeners.append(fn)
+
+    def registerConnectionListener(self, fn):
+        """fn() when a websocket client completes its handshake."""
+        self._conn_listeners.append(fn)
+
+    def consume_drag_forces(self, model):
+        """Drain accumulated drag forces into a (nbody, 3) world-force array
+        for the sim loop (poll once per step; forces are one-shot impulses
+        scaled by the client)."""
+        import numpy as np
+
+        out = np.zeros((model.nbody, 3))
+        with self._lock:
+            for body, f in self._forces.items():
+                if 0 <= body < model.nbody:
+                    out[body] = f
+            self._forces.clear()
+        return out
+
+    def _on_message(self, payload: bytes):
+        try:
+            msg = json.loads(payload.decode())
+        except (ValueError, UnicodeDecodeError):
+            return
+        mtype = msg.get("type")
+        if mtype == "drag":
+            body = int(msg.get("body", -1))
+            force = [float(x) for x in msg.get("force", (0, 0, 0))][:3]
+            with self._lock:
+                self._forces[body] = force
+            for fn in self._drag_listeners:
+                fn(body, force)
+        elif mtype == "key":
+            for fn in self._key_listeners:
+                fn(str(msg.get("key", "")))
 
     # -- internals ----------------------------------------------------------
     def _broadcast(self, data: bytes):
@@ -134,6 +228,31 @@ class GUIWebsocketServer:
                     conn.sendall(self._scene_msg)
                 except OSError:
                     pass
+            for fn in self._conn_listeners:
+                fn()
+            # reader loop: client -> server interaction messages
+            while self._running:
+                try:
+                    opcode, payload = _ws_read_frame(conn)
+                except OSError:
+                    break
+                if opcode is None:  # close frame
+                    break
+                if opcode == 0x9:  # ping -> pong
+                    try:
+                        conn.sendall(struct.pack("!BB", 0x8A, 0))
+                    except OSError:
+                        break
+                    continue
+                if opcode == 0x1:
+                    self._on_message(payload)
+            with self._lock:
+                if conn in self._clients:
+                    self._clients.remove(conn)
+            try:
+                conn.close()
+            except OSError:
+                pass
         else:
             # HTTP: serve the viewer page pointed at our own websocket
             page = build_page("null", "[]", '"ws://" + location.host + "/"').encode()

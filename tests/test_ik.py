@@ -41,3 +41,49 @@ class TestIK:
 
         fd = (mp.map_pos(integrate_positions(m, q, v, eps)) - mp.map_pos(integrate_positions(m, q, -v, eps))) / (2 * eps)
         np.testing.assert_allclose(np.asarray(zdot), np.asarray(fd), atol=1e-6)
+
+
+class TestHierarchicalIK:
+    def test_two_level_priorities(self):
+        """Level-0 (end effector) is met exactly; level-1 (mid-chain) is
+        satisfied only as far as the remaining nullspace allows
+        (HierarchicalIK parity)."""
+        from diffdart_tpu.neural import HierarchicalIK
+
+        m = chain(n=6, length=0.3)
+        q_true = jnp.array([0.4, -0.3, 0.5, 0.2, -0.4, 0.3])
+        R, p = fk(m, q_true)
+        t_ee = p[5]
+        t_mid = p[2]
+        hik = HierarchicalIK(m, levels=[[(5, (0, 0, 0))], [(2, (0, 0, 0))]], iters=80)
+        q, errs = jax.jit(hik.solve)([t_ee[None], t_mid[None]], jnp.zeros(m.nv))
+        assert float(errs[0]) < 1e-4, f"primary task unmet: {float(errs[0])}"
+        assert float(errs[1]) < 5e-2  # secondary roughly met via nullspace
+
+    def test_primary_wins_on_conflict(self):
+        """When targets conflict, the higher-priority level is the one that
+        stays satisfied."""
+        from diffdart_tpu.neural import HierarchicalIK
+
+        m = chain(n=4, length=0.3)
+        R, p = fk(m, jnp.array([0.3, 0.3, 0.3, 0.3]))
+        t_ee = p[3]
+        t_conflict = jnp.asarray(p[1]) + jnp.array([0.5, 0.0, 0.5])  # unreachable with level-0 held
+        hik = HierarchicalIK(m, levels=[[(3, (0, 0, 0))], [(1, (0, 0, 0))]], iters=80)
+        q, errs = hik.solve([t_ee[None], t_conflict[None]], jnp.zeros(m.nv))
+        assert float(errs[0]) < 1e-4
+        assert float(errs[1]) > 0.1  # genuinely conflicting
+
+    def test_offsets_and_multi_task_level(self):
+        from diffdart_tpu.neural import HierarchicalIK
+        from diffdart_tpu.math.lie import tf_apply
+
+        m = chain(n=5, length=0.3)
+        off = (0.0, 0.0, 0.15)
+        q_true = jnp.array([0.2, -0.2, 0.4, -0.1, 0.3])
+        R, p = fk(m, q_true)
+        t0 = tf_apply(R[4], p[4], jnp.asarray(off))
+        t1 = p[2]
+        hik = HierarchicalIK(m, levels=[[(4, off), (2, (0, 0, 0))]], iters=100)
+        q, errs = hik.solve([jnp.stack([t0, t1])], jnp.zeros(m.nv))
+        assert float(errs[0]) < 1e-3
