@@ -178,6 +178,48 @@ def max_contacts(model: Model) -> int:
     return sum(k * len(members) for (_, _, k, members) in _grouped_plan(model))
 
 
+def effective_contacts(model: Model) -> int:
+    """Number of contact slots entering the LCP: all narrowphase slots, or
+    the static contact budget when one is set (see Model.contact_budget)."""
+    nc = max_contacts(model)
+    if model.contact_budget and nc > model.contact_budget:
+        return model.contact_budget
+    return nc
+
+
+def select_contacts(model: Model, contacts: Contacts):
+    """Gather the LCP's contact set + per-slot body indices.
+
+    Without a budget: identity (static body indices as arrays). With a budget
+    K < max_contacts: keep the K deepest VALID slots (lax.top_k on a masked
+    depth score) — the TPU-native analogue of the reference's
+    broadphase+island pruning (ConstraintSolver::updateConstraints): instead
+    of dynamically-sized islands, a fixed-size gather bounds the LCP at K
+    rows while many-pair scenes keep O(pairs) only in the (cheap, vectorized)
+    narrowphase. Ties/ranking changes are active-set-style discontinuities —
+    the same nature as contact making/breaking."""
+    import jax
+    import numpy as np
+
+    ba, bb = contact_slots(model)
+    ba = jnp.asarray(np.array(ba, np.int32)) if ba else jnp.zeros((0,), jnp.int32)
+    bb = jnp.asarray(np.array(bb, np.int32)) if bb else jnp.zeros((0,), jnp.int32)
+    K = effective_contacts(model)
+    if K == contacts.pos.shape[0]:
+        return contacts, ba, bb
+    score = jnp.where(contacts.valid, contacts.depth, -jnp.inf)
+    _, idx = jax.lax.top_k(score, K)
+    sel = Contacts(
+        pos=contacts.pos[idx],
+        normal=contacts.normal[idx],
+        depth=contacts.depth[idx],
+        valid=contacts.valid[idx],
+        friction=contacts.friction[idx],
+        restitution=contacts.restitution[idx],
+    )
+    return sel, ba[idx], bb[idx]
+
+
 def contact_slots(model: Model):
     """Static per-slot metadata: (body_a, body_b) tuples of len max_contacts.
     body_a is the body pushed along +normal."""

@@ -115,15 +115,47 @@ def capsule_capsule(Ra, pa, sa, Rb, pb, sb):
     return sphere_sphere(Ra, ca, jnp.array([ra, 0, 0], sa.dtype), Rb, cb, jnp.array([rb, 0, 0], sa.dtype))
 
 
+def _seg_box_t(p0, u, hl, half, iters=40):
+    """t in [-hl, hl] minimizing the distance from segment point p0 + t*u to
+    the origin-centered box with half-extents `half` (all in the box frame).
+    The squared distance to a convex set is convex in t, so a fixed-iteration
+    ternary search is exact to (2/3)^iters * 2*hl and branchless."""
+    import jax
+
+    def dist2(t):
+        c = p0 + t * u
+        d = c - jnp.clip(c, -half, half)
+        return jnp.sum(d * d)
+
+    lo = -hl * jnp.ones((), p0.dtype)
+    hi = hl * jnp.ones((), p0.dtype)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        m1 = lo + (hi - lo) / 3.0
+        m2 = hi - (hi - lo) / 3.0
+        shrink_lo = dist2(m1) > dist2(m2)
+        return jnp.where(shrink_lo, m1, lo), jnp.where(shrink_lo, hi, m2)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return 0.5 * (lo + hi)
+
+
 def capsule_box(Ra, pa, sa, Rb, pb, sb):
-    """Capsule A vs box B: 2 candidates from the end spheres + 1 from the
-    segment midpoint region (cheap approximation that covers lying-flat and
-    end-poke cases; exact segment-box closest point refined later)."""
+    """Capsule A vs box B: exact segment-box closest point. 3 candidates —
+    the two end spheres plus the interior closest point of the core segment
+    to the box (ternary search on the convex squared distance, exact across
+    face/edge/vertex regions) — each resolved as an exact sphere-box contact.
+    Covers lying-flat (two end contacts), end-poke, and mid-segment edge
+    crossings. Parity anchor: collideCapsuleBox via FCL in the reference."""
     r, hl = sa[0], sa[1]
     axis = Ra[:, 2]
+    p0_l = Rb.T @ (pa - pb)
+    u_l = Rb.T @ axis
+    t_star = _seg_box_t(p0_l, u_l, hl, sb)
     outs = []
-    for s in (-1.0, 0.0, 1.0):
-        c = pa + axis * (s * hl)
+    for t in (-hl, t_star, hl):
+        c = pa + axis * t
         o = sphere_box(Ra, c, jnp.array([r, 0, 0], sa.dtype), Rb, pb, sb)
         outs.append(tuple(x[0] for x in o))
     return tuple(jnp.stack([o[i] for o in outs]) for i in range(4))

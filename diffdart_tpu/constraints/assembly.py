@@ -43,9 +43,9 @@ class LCPData(NamedTuple):
 def static_fidx(model: Model) -> tuple:
     """The (static) friction-index row layout as a Python tuple — used to
     specialize kernels (e.g. the Pallas sweep) at trace time."""
-    from diffdart_tpu.collision.collide import max_contacts
+    from diffdart_tpu.collision.collide import effective_contacts
 
-    nc = max_contacts(model)
+    nc = effective_contacts(model)
     nlim = len(model.limited_dofs)
     nservo = len(model.servo_dofs)
     nfric = len(model.friction_dofs)
@@ -85,6 +85,8 @@ def assemble_constraints(
     dt,
     R_body=None,
     p_body=None,
+    body_a=None,
+    body_b=None,
 ) -> LCPData:
     """Build the boxed LCP over [normals | tangents1 | tangents2 | limits].
 
@@ -94,10 +96,15 @@ def assemble_constraints(
       v_star: unconstrained post-step velocity; v_pre: pre-step velocity
         (for restitution).
       qt: (nv,) tangent-space positions (for joint limits).
+      body_a, body_b: per-contact body index arrays (from select_contacts);
+        default = the static slot layout. body -1 = world.
     """
     dtype = v_star.dtype
     nc = contacts.pos.shape[0]
-    body_a, body_b = contact_slots(model)
+    if body_a is None or body_b is None:
+        sa, sb = contact_slots(model)
+        body_a = jnp.asarray(np.array(sa, np.int32)) if sa else jnp.zeros((0,), jnp.int32)
+        body_b = jnp.asarray(np.array(sb, np.int32)) if sb else jnp.zeros((0,), jnp.int32)
     nlim = len(model.limited_dofs)
     nservo = len(model.servo_dofs)
     nfric = len(model.friction_dofs)
@@ -112,13 +119,17 @@ def assemble_constraints(
     def bmask(b):
         return zero_mask if b < 0 else mask[b]
 
-    # ---- contact rows ----
+    # ---- contact rows (vectorized over contacts; body indices may be
+    # dynamic when a contact budget gathered the slots) ----
     J_n = jnp.zeros((0, model.nv), dtype)
     if nc:
         t1, t2 = tangent_basis(contacts.normal)
-        Jp = jnp.stack(
-            [point_jacobian(Sw, bmask(body_a[c]), bmask(body_b[c]), contacts.pos[c]) for c in range(nc)]
-        )  # (nc, nv, 3)
+        nb = mask.shape[0]
+        mask_pad = jnp.concatenate([mask, jnp.zeros((1, model.nv), dtype)], axis=0)
+        ma = mask_pad[jnp.where(body_a < 0, nb, body_a)]  # (nc, nv)
+        mb = mask_pad[jnp.where(body_b < 0, nb, body_b)]
+        lin = Sw[None, :, 3:] + jnp.cross(Sw[None, :, :3], contacts.pos[:, None, :])
+        Jp = (ma - mb)[:, :, None] * lin  # (nc, nv, 3)
         J_n = jnp.einsum("cvk,ck->cv", Jp, contacts.normal)
         J_t1 = jnp.einsum("cvk,ck->cv", Jp, t1)
         J_t2 = jnp.einsum("cvk,ck->cv", Jp, t2)

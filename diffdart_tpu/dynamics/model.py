@@ -132,6 +132,12 @@ class Model:
     # ---- contact solver configuration (static) ----
     contact_iters: int = struct.field(pytree_node=False, default=4)
     contact_solver: str = struct.field(pytree_node=False, default="lowrank")
+    # contact budget: 0 = keep every narrowphase slot; K > 0 = gather the K
+    # deepest valid contacts into a fixed-size buffer before assembly. This is
+    # the TPU-native replacement for broadphase+islands in many-pair scenes
+    # (an n-cube stack has O(n^2) pairs x 8 slots, mostly inactive): the LCP
+    # stays at K rows instead of growing with the pair count.
+    contact_budget: int = struct.field(pytree_node=False, default=0)
     lcp_polish: bool = struct.field(pytree_node=False, default=True)
     contact_cfm: float = struct.field(pytree_node=False, default=1e-6)
     baumgarte_erp: float = struct.field(pytree_node=False, default=0.2)

@@ -1,1 +1,8 @@
-from diffdart_tpu.sim.step import step, step_unconstrained, rollout, rollout_checkpointed  # noqa: F401
+from diffdart_tpu.sim.step import (  # noqa: F401
+    rollout,
+    rollout_checkpointed,
+    rollout_final,
+    rollout_segmented,
+    step,
+    step_unconstrained,
+)

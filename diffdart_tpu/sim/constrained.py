@@ -43,10 +43,13 @@ def prepare_constrained(model: Model, state: State, tau=None):
     v_star = v + dt * (Minv @ (tau + f_joint - C))
 
     contacts = collide_world(model, cache["R"], cache["p"])
+    from diffdart_tpu.collision.collide import select_contacts
+
+    contacts, body_a, body_b = select_contacts(model, contacts)
     qt = D.q_tangent(model, q)
     lcp = assemble_constraints(
         model, contacts, cache["Sw"], cache["mask"], Minv, v_star, v, qt, dt,
-        R_body=cache["R"], p_body=cache["p"],
+        R_body=cache["R"], p_body=cache["p"], body_a=body_a, body_b=body_b,
     )
     return lcp, M, Minv, v_star, dt
 

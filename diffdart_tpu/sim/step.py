@@ -62,6 +62,22 @@ def rollout(model: Model, state: State, taus) -> tuple[State, State]:
     return jax.lax.scan(body, state, taus)
 
 
+def rollout_final(model: Model, state: State, taus) -> State:
+    """Plain BPTT rollout (NO rematerialization): scan `step`, return the
+    final state, let XLA store every step's residuals for the backward pass.
+
+    Fastest gradient path for short/medium horizons: the backward never
+    re-runs kinematics/collision/assembly (measured ~1.9x faster fwd+grad
+    than per-step remat on cheetah B=4096 T=50). Memory grows linearly in T;
+    use `rollout_checkpointed` for long horizons or big models."""
+
+    def body(s, tau):
+        return step(model, s, tau), None
+
+    final, _ = jax.lax.scan(body, state, taus)
+    return final
+
+
 def rollout_checkpointed(model: Model, state: State, taus) -> State:
     """BPTT-ready rollout: per-step rematerialization (the knot-point memory
     trick — SURVEY.md §5) with the LCP impulse saved by name, so the backward
@@ -77,4 +93,26 @@ def rollout_checkpointed(model: Model, state: State, taus) -> State:
 
     body = jax.checkpoint(body, policy=policy)
     final, _ = jax.lax.scan(body, state, taus)
+    return final
+
+
+def rollout_segmented(model: Model, state: State, taus, segment: int = 10) -> State:
+    """Segment-remat BPTT: remat at SEGMENT granularity (sqrt-style tradeoff
+    between `rollout_final` and per-step `rollout_checkpointed`): inside a
+    segment residuals are stored; across segments only the carried state is.
+    `taus` length must be a multiple of `segment`."""
+    T = taus.shape[0]
+    if T % segment:
+        raise ValueError(f"horizon {T} not a multiple of segment {segment}")
+    seg_taus = taus.reshape(T // segment, segment, *taus.shape[1:])
+
+    @jax.checkpoint
+    def seg_body(s, tau_seg):
+        def body(ss, tau):
+            return step(model, ss, tau), None
+
+        out, _ = jax.lax.scan(body, s, tau_seg)
+        return out, None
+
+    final, _ = jax.lax.scan(seg_body, state, seg_taus)
     return final

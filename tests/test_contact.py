@@ -122,6 +122,70 @@ class TestRestitution:
         assert z[touchdown:].max() < 0.105  # no rebound above slop
 
 
+class TestCapsuleBox:
+    """Exact segment-box closest point (capsule_box): cases the old
+    3-sample (endpoints+midpoint) approximation provably missed."""
+
+    def _cb(self, pa, axis, r, hl, half):
+        from diffdart_tpu.collision.narrowphase import capsule_box
+
+        axis = np.asarray(axis, float)
+        axis = axis / np.linalg.norm(axis)
+        # rotation with z = axis
+        e = np.eye(3)[np.argmin(np.abs(axis))]
+        x = np.cross(axis, e)
+        x /= np.linalg.norm(x)
+        y = np.cross(axis, x)
+        Ra = jnp.asarray(np.stack([x, y, axis], axis=1))
+        return capsule_box(
+            Ra, jnp.asarray(np.asarray(pa, float)), jnp.array([r, hl, 0.0]),
+            jnp.eye(3), jnp.zeros(3), jnp.asarray(np.asarray(half, float)),
+        )
+
+    def test_interior_closest_point_off_midpoint(self):
+        """Segment spans x in [-1, 0.3] at z=0.25 over a 0.2-half box: the
+        closest region is x in [-0.2, 0.2] — neither an endpoint nor the
+        midpoint (-0.35). The interior candidate must find depth ~0.01."""
+        pos, n, depth, valid = self._cb(
+            pa=(-0.35, 0.0, 0.25), axis=(1, 0, 0), r=0.06, hl=0.65, half=(0.2, 0.2, 0.2)
+        )
+        hits = np.asarray(valid)
+        assert hits.any(), "interior contact missed"
+        d = float(np.asarray(depth)[hits].max())
+        assert abs(d - 0.01) < 1e-3
+        k = int(np.argmax(np.where(hits, np.asarray(depth), -np.inf)))
+        np.testing.assert_allclose(np.asarray(n)[k], [0, 0, 1], atol=1e-5)
+
+    def test_lying_flat_gives_two_end_contacts(self):
+        pos, n, depth, valid = self._cb(
+            pa=(0.0, 0.0, 0.25), axis=(1, 0, 0), r=0.06, hl=0.1, half=(0.2, 0.2, 0.2)
+        )
+        assert int(np.asarray(valid).sum()) >= 2
+        d = np.asarray(depth)[np.asarray(valid)]
+        np.testing.assert_allclose(d, 0.01, atol=1e-3)
+
+    def test_separated_reports_nothing(self):
+        _, _, _, valid = self._cb(
+            pa=(0.0, 0.0, 0.5), axis=(1, 0, 0), r=0.06, hl=0.3, half=(0.2, 0.2, 0.2)
+        )
+        assert not bool(np.asarray(valid).any())
+
+    def test_gradient_finite_at_contact(self):
+        from diffdart_tpu.collision.narrowphase import capsule_box
+
+        def deepest(z):
+            _, _, depth, valid = capsule_box(
+                jnp.eye(3), jnp.array([0.05, 0.0, z]), jnp.array([0.06, 0.3, 0.0]),
+                jnp.eye(3), jnp.zeros(3), jnp.array([0.2, 0.2, 0.2]),
+            )
+            return jnp.max(jnp.where(valid, depth, -jnp.inf))
+
+        g = jax.grad(deepest)(jnp.asarray(0.45))
+        assert np.isfinite(float(g))
+        # deeper as z decreases: d(depth)/dz = -1
+        np.testing.assert_allclose(float(g), -1.0, atol=1e-4)
+
+
 class TestCylinder:
     """collideCylinderPlane parity (DARTCollide.cpp)."""
 

@@ -50,6 +50,33 @@ class TestStack:
         for i in range(5):
             assert abs(float(final.q[7 * i + 4])) < 0.05
 
+    def test_contact_budget_matches_full_solve(self):
+        """With a budget >= the number of truly active slots, the top-K
+        gathered LCP must reproduce the full-LCP trajectory (broadphase/
+        islands replacement: pruning inactive slots is exact)."""
+        half = 0.1
+        m_full = cube_drop(n_cubes=5, dt=2e-3, half=half, friction=0.9)
+        assert max_contacts(m_full) == 8 * 15
+        m_bud = m_full.replace(contact_budget=48)
+        from diffdart_tpu.collision.collide import effective_contacts
+
+        assert effective_contacts(m_bud) == 48
+        s = _stacked_state(m_full, 5, half)
+        taus = jnp.zeros((150, m_full.nv))
+        f_full, _ = jax.jit(rollout)(m_full, s, taus)
+        f_bud, _ = jax.jit(rollout)(m_bud, s, taus)
+        assert bool(jnp.all(jnp.isfinite(f_bud.q)))
+        np.testing.assert_allclose(np.array(f_bud.q), np.array(f_full.q), atol=5e-3)
+
+        # gradients flow through the gather
+        def loss(v0):
+            ss = State(q=s.q, v=s.v + v0, t=s.t)
+            f, _ = rollout(m_bud, ss, jnp.zeros((20, m_bud.nv)))
+            return jnp.sum(f.q**2)
+
+        g = jax.jit(jax.grad(loss))(jnp.zeros(m_bud.nv))
+        assert bool(jnp.all(jnp.isfinite(g)))
+
     def test_ten_cube_pyramid_is_finite_and_grounded(self):
         """10 cubes in free fall onto the plane: everything lands, nothing
         tunnels or explodes (many simultaneous box-box contacts)."""
