@@ -7,6 +7,12 @@ Prints ONE JSON line:
 Primary metric (BASELINE.json): env-steps/sec/chip fwd+grad on batched
 half-cheetah; baseline target = 1,000,000 on a v5e-8 (we report per-chip).
 Runs on whatever jax.default_backend() is (TPU under the driver).
+
+The primary path is the fused Pallas tile step (ops/pallas_step.py): the
+whole constrained timestep — FK, dynamics, collision, boxed LCP — runs as
+one kernel per step with envs on the VPU lanes, and the backward kernel
+remats in VMEM. Falls back to the vmap path if the fused path fails to
+build/compile on this backend.
 """
 import json
 import os
@@ -15,8 +21,8 @@ import time
 
 import jax
 
-# persistent compile cache: the constrained-rollout grad program is expensive
-# to compile on the remote-compile tunnel; cache it across runs
+# persistent compile cache: the fused-kernel and constrained-rollout grad
+# programs are expensive to compile on the remote-compile tunnel; cache them
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache", "device")
 os.makedirs(_CACHE, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _CACHE)
@@ -25,10 +31,18 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 import jax.numpy as jnp
 
 
+def _timeit(fn, out_extract, iters=5):
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    out_extract(out).block_until_ready()
+    return (time.perf_counter() - t0) / iters
+
+
 def main():
     from diffdart_tpu.dynamics.model import State
     from diffdart_tpu.models.half_cheetah import half_cheetah, cheetah_init_q
-    from diffdart_tpu.sim import rollout
+    from diffdart_tpu.sim import rollout, rollout_checkpointed
 
     B = 4096
     T = 50
@@ -41,65 +55,74 @@ def main():
     key = jax.random.PRNGKey(0)
     taus = 0.1 * jax.random.normal(key, (T, B, m.nv), dtype)
 
-    roll = jax.jit(jax.vmap(lambda s, t: rollout(m, s, t), in_axes=(0, 1)))
+    extra = {"backend": jax.default_backend(), "batch": B, "horizon": T, "nv": m.nv}
 
-    from diffdart_tpu.sim import rollout_checkpointed
+    # ---------------- primary: fused Pallas tile path ----------------
+    sps_fwd = sps_grad = None
+    try:
+        from diffdart_tpu.ops.pallas_step import make_bench_fns, to_tiles
 
-    def loss(taus):
-        final = jax.vmap(lambda s, t: rollout_checkpointed(m, s, t), in_axes=(0, 1))(batch, taus)
-        return jnp.mean(final.q[:, 1] ** 2) + 1e-4 * jnp.mean(taus**2)
+        qt, vt = to_tiles(qs), to_tiles(vs)
+        taus_t = jax.vmap(to_tiles)(taus)
+        roll_p, grad_p = make_bench_fns(m)
+        roll_j = jax.jit(roll_p)
+        g_j = jax.jit(grad_p)
+        # warmup / compile
+        jax.block_until_ready(roll_j(qt, vt, taus_t))
+        jax.block_until_ready(g_j(qt, vt, taus_t))
+        t_fwd = _timeit(lambda: roll_j(qt, vt, taus_t), lambda o: o[0])
+        t_grad = _timeit(lambda: g_j(qt, vt, taus_t), lambda o: o)
+        sps_fwd = B * T / t_fwd
+        sps_grad = B * T / t_grad
+        extra["path"] = "pallas_fused_tile"
+    except Exception as e:  # noqa: BLE001 — fall back to the vmap path
+        extra["pallas_error"] = f"{type(e).__name__}: {e}"[:500]
 
-    grad = jax.jit(jax.grad(loss))
+    # ---------------- fallback / reference: vmap path ----------------
+    if sps_grad is None:
+        roll = jax.jit(jax.vmap(lambda s, t: rollout(m, s, t), in_axes=(0, 1)))
 
-    # warmup / compile
-    f, _ = roll(batch, taus)
-    f.q.block_until_ready()
-    g = grad(taus)
-    g.block_until_ready()
+        def loss(taus):
+            final = jax.vmap(lambda s, t: rollout_checkpointed(m, s, t), in_axes=(0, 1))(batch, taus)
+            return jnp.mean(final.q[:, 1] ** 2) + 1e-4 * jnp.mean(taus**2)
 
-    def timeit(fn, out_extract, iters=5):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn()
-        out_extract(out).block_until_ready()
-        return (time.perf_counter() - t0) / iters
-
-    t_fwd = timeit(lambda: roll(batch, taus), lambda o: o[0].q)
-    t_grad = timeit(lambda: grad(taus), lambda o: o)
-
-    sps_fwd = B * T / t_fwd
-    sps_grad = B * T / t_grad
+        grad = jax.jit(jax.grad(loss))
+        f, _ = roll(batch, taus)
+        f.q.block_until_ready()
+        grad(taus).block_until_ready()
+        t_fwd = _timeit(lambda: roll(batch, taus), lambda o: o[0].q)
+        t_grad = _timeit(lambda: grad(taus), lambda o: o)
+        sps_fwd = B * T / t_fwd
+        sps_grad = B * T / t_grad
+        extra["path"] = "vmap"
 
     # secondary metric: Atlas-class humanoid (30 DOF) contact step rate
-    from diffdart_tpu.models.humanoid import humanoid, humanoid_init_q
+    # (FREE-joint models stay on the vmap path)
+    try:
+        from diffdart_tpu.models.humanoid import humanoid, humanoid_init_q
 
-    mh = humanoid(dt=2e-3)
-    Bh, Th = 256, 10
-    bh = State(
-        q=jnp.tile(humanoid_init_q(mh), (Bh, 1)),
-        v=jnp.zeros((Bh, mh.nv), dtype),
-        t=jnp.zeros(Bh, dtype),
-    )
-    rollh = jax.jit(jax.vmap(lambda s: rollout(mh, s, jnp.zeros((Th, mh.nv), dtype))[0]))
-    fh = rollh(bh)
-    fh.q.block_until_ready()
-    t_atlas = timeit(lambda: rollh(bh), lambda o: o.q)
-    atlas_sps = Bh * Th / t_atlas
+        mh = humanoid(dt=2e-3)
+        Bh, Th = 256, 10
+        bh = State(
+            q=jnp.tile(humanoid_init_q(mh), (Bh, 1)),
+            v=jnp.zeros((Bh, mh.nv), dtype),
+            t=jnp.zeros(Bh, dtype),
+        )
+        rollh = jax.jit(jax.vmap(lambda s: rollout(mh, s, jnp.zeros((Th, mh.nv), dtype))[0]))
+        rollh(bh).q.block_until_ready()
+        t_atlas = _timeit(lambda: rollh(bh), lambda o: o.q)
+        extra["atlas_humanoid_steps_per_sec"] = round(Bh * Th / t_atlas)
+        extra["atlas_vs_50k_target"] = round(Bh * Th / t_atlas / 50_000.0, 4)
+    except Exception as e:  # noqa: BLE001
+        extra["atlas_error"] = f"{type(e).__name__}: {e}"[:300]
 
+    extra["fwd_env_steps_per_sec"] = round(sps_fwd)
     result = {
         "metric": "halfcheetah env-steps/sec/chip (fwd+grad, B=4096)",
         "value": round(sps_grad),
         "unit": "env-steps/sec",
         "vs_baseline": round(sps_grad / 1_000_000.0, 4),
-        "extra": {
-            "fwd_env_steps_per_sec": round(sps_fwd),
-            "atlas_humanoid_steps_per_sec": round(atlas_sps),
-            "atlas_vs_50k_target": round(atlas_sps / 50_000.0, 4),
-            "backend": jax.default_backend(),
-            "batch": B,
-            "horizon": T,
-            "nv": m.nv,
-        },
+        "extra": extra,
     }
     print(json.dumps(result))
 
@@ -123,9 +146,6 @@ def _emit_error(exc: BaseException) -> None:
 if __name__ == "__main__":
     try:
         main()
-    except BaseException as e:  # noqa: BLE001 - must emit the JSON line
-        import traceback
-
-        traceback.print_exc(file=sys.stderr)
+    except BaseException as e:  # noqa: BLE001
         _emit_error(e)
         sys.exit(0)

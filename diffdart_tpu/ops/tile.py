@@ -1,0 +1,293 @@
+"""Trace-time tile math: scalar algebra over lane-tiled env blocks.
+
+The batch-last execution layout (sim/tilestep.py, ops/pallas_step.py): every
+per-env SCALAR is one (8, 128) float32 tile holding 1024 envs — the native
+VPU shape — and every small vector/matrix of the physics (positions, rotation
+matrices, mass matrices, LCP rows) is a plain Python list of such tiles. All
+small-dimension indexing happens at TRACE time, so the compiled program (XLA
+or Mosaic) sees only full-tile elementwise ops: the hardware never touches a
+(9, 9)-shaped array.
+
+Elements are one of:
+  * None          — structural zero (skipped entirely),
+  * python float  — trace-time constant (folded; reaches the kernel as an
+                    immediate only where it survives),
+  * jnp array     — a live tile.
+
+This gives free constant folding through fixed frame offsets / axis-aligned
+rotations and free sparsity through the ancestor mask, replacing the dense
+masked einsums of the vmap path (where XLA multiplies by runtime zeros).
+
+No reference-code counterpart: this layer exists because of the TPU memory
+hierarchy (VPU lanes + VMEM residency), see SURVEY.md §7 redesign notes.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# element ops (None = structural zero, float = constant, array = tile)
+# ---------------------------------------------------------------------------
+
+
+def is_zero(a) -> bool:
+    return a is None or (isinstance(a, (int, float)) and a == 0.0)
+
+
+def is_const(a) -> bool:
+    return a is None or isinstance(a, (int, float))
+
+
+def add(a, b):
+    if is_zero(a):
+        return None if is_zero(b) else b
+    if is_zero(b):
+        return a
+    if is_const(a) and is_const(b):
+        return float(a) + float(b)
+    return a + b
+
+
+def sub(a, b):
+    if is_zero(b):
+        return None if is_zero(a) else a
+    if is_zero(a):
+        return neg(b)
+    if is_const(a) and is_const(b):
+        return float(a) - float(b)
+    return a - b
+
+
+def neg(a):
+    if is_zero(a):
+        return None
+    if is_const(a):
+        return -float(a)
+    return -a
+
+
+def mul(a, b):
+    if is_zero(a) or is_zero(b):
+        return None
+    if is_const(a) and is_const(b):
+        return float(a) * float(b)
+    if is_const(a) and float(a) == 1.0:
+        return b
+    if is_const(b) and float(b) == 1.0:
+        return a
+    return a * b
+
+
+def fma(acc, a, b):
+    return add(acc, mul(a, b))
+
+
+def div(a, b):
+    if is_zero(a):
+        return None
+    if is_const(a) and is_const(b):
+        return float(a) / float(b)
+    return a / b
+
+
+def rsqrt(a):
+    import jax
+
+    if is_const(a):
+        return 1.0 / float(a) ** 0.5
+    return jax.lax.rsqrt(a)
+
+
+def sqrt(a):
+    if is_zero(a):
+        return None
+    if is_const(a):
+        return float(a) ** 0.5
+    return jnp.sqrt(a)
+
+
+def maximum(a, b):
+    if is_const(a) and is_const(b):
+        return max(float(a), float(b))
+    aa = 0.0 if a is None else a
+    bb = 0.0 if b is None else b
+    return jnp.maximum(aa, bb)
+
+
+def minimum(a, b):
+    if is_const(a) and is_const(b):
+        return min(float(a), float(b))
+    aa = 0.0 if a is None else a
+    bb = 0.0 if b is None else b
+    return jnp.minimum(aa, bb)
+
+
+def where(c, a, b):
+    aa = 0.0 if a is None else a
+    bb = 0.0 if b is None else b
+    return jnp.where(c, aa, bb)
+
+
+def materialize(a, like):
+    """Force an element to a real tile (for outputs)."""
+    if a is None:
+        return jnp.zeros_like(like)
+    if is_const(a):
+        return jnp.full_like(like, float(a))
+    return a
+
+
+# ---------------------------------------------------------------------------
+# small linear algebra over element lists
+# ---------------------------------------------------------------------------
+
+
+def dot(xs, ys):
+    """Sum_k xs[k]*ys[k], skipping structural zeros."""
+    acc = None
+    for x, y in zip(xs, ys):
+        acc = fma(acc, x, y)
+    return acc
+
+
+def vadd(xs, ys):
+    return [add(x, y) for x, y in zip(xs, ys)]
+
+
+def vsub(xs, ys):
+    return [sub(x, y) for x, y in zip(xs, ys)]
+
+
+def vscale(xs, s):
+    return [mul(x, s) for x in xs]
+
+
+def cross3(a, b):
+    return [
+        sub(mul(a[1], b[2]), mul(a[2], b[1])),
+        sub(mul(a[2], b[0]), mul(a[0], b[2])),
+        sub(mul(a[0], b[1]), mul(a[1], b[0])),
+    ]
+
+
+def matvec3(R, x):
+    """R: 3x3 nested list, x: len-3 list."""
+    return [dot(R[i], x) for i in range(3)]
+
+
+def matTvec3(R, x):
+    return [dot([R[0][i], R[1][i], R[2][i]], x) for i in range(3)]
+
+
+def matmul3(A, B):
+    return [[dot(A[i], [B[0][j], B[1][j], B[2][j]]) for j in range(3)] for i in range(3)]
+
+
+def transpose3(A):
+    return [[A[j][i] for j in range(3)] for i in range(3)]
+
+
+def eye3():
+    return [[1.0, None, None], [None, 1.0, None], [None, None, 1.0]]
+
+
+def tf_compose_t(Ra, pa, Rb, pb):
+    """(Ra, pa) ∘ (Rb, pb): R = Ra Rb, p = Ra pb + pa."""
+    return matmul3(Ra, Rb), vadd(matvec3(Ra, pb), pa)
+
+
+def exp_so3_const_axis(axis, theta):
+    """Rodrigues for a CONSTANT unit axis (python floats) and a tile angle:
+    R = I + sin t [a]x + (1 - cos t) [a]x^2 — entries fold where axis
+    components are zero (axis-aligned hinges cost 2 transcendentals + a few
+    muls)."""
+    ax, ay, az = (float(a) for a in axis)
+    s = jnp.sin(theta) if not is_const(theta) else float(jnp.sin(jnp.float32(theta)))
+    c = jnp.cos(theta) if not is_const(theta) else float(jnp.cos(jnp.float32(theta)))
+    one_m_c = sub(1.0, c)
+    K = [[None, -az or None, ay or None], [az or None, None, -ax or None], [-ay or None, ax or None, None]]
+    # K2 = a a^T - I (for unit axis)
+    a = [ax, ay, az]
+    K2 = [[mul(a[i], a[j]) if i != j else add(mul(a[i], a[j]), -1.0) for j in range(3)] for i in range(3)]
+    R = [
+        [
+            add(add(1.0 if i == j else None, mul(s, K[i][j])), mul(one_m_c, K2[i][j]))
+            for j in range(3)
+        ]
+        for i in range(3)
+    ]
+    return R
+
+
+def chol_factor(M):
+    """Unrolled Cholesky of a small SPD element matrix (nested lists)."""
+    n = len(M)
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = M[i][j]
+            for k in range(j):
+                s = sub(s, mul(L[i][k], L[j][k]))
+            if i == j:
+                L[i][i] = sqrt(maximum(s, 1e-12))
+            else:
+                L[i][j] = div(s, L[j][j]) if s is not None else None
+    return L
+
+
+def chol_solve(L, b):
+    """Solve (L L^T) x = b given a chol_factor result."""
+    n = len(b)
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = sub(s, mul(L[i][k], y[k]))
+        y[i] = div(s, L[i][i]) if s is not None else None
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = sub(s, mul(L[k][i], x[k]))
+        x[i] = div(s, L[i][i]) if s is not None else None
+    return x
+
+
+def solve_spd(M, b):
+    """Solve M x = b for a small symmetric positive-definite element matrix
+    (nested lists) by unrolled Cholesky. All loops unroll at trace time."""
+    return chol_solve(chol_factor(M), b)
+
+
+def solve_ge(M, b):
+    """Solve M x = b by Gaussian elimination WITHOUT pivoting, unrolled at
+    trace time. Valid for diagonally-regularized near-SPD systems (the
+    active-set KKT matrix S = cfm M + J^T (I+B) F J, which is UNSYMMETRIC
+    when friction-bound coupling B is active — Cholesky is wrong there).
+    Mirrors ops/smalllinalg.solve_nopivot_small."""
+    n = len(b)
+    A = [[M[i][j] for j in range(n)] for i in range(n)]
+    x = list(b)
+    for k in range(n - 1):
+        for i in range(k + 1, n):
+            if is_zero(A[i][k]):
+                continue
+            f = div(A[i][k], A[k][k])
+            for j in range(k + 1, n):
+                A[i][j] = sub(A[i][j], mul(f, A[k][j]))
+            x[i] = sub(x[i], mul(f, x[k]))
+    out = [None] * n
+    for i in reversed(range(n)):
+        s = x[i]
+        for j in range(i + 1, n):
+            s = sub(s, mul(A[i][j], out[j]))
+        out[i] = div(s, A[i][i]) if s is not None else None
+    return out
+
+
+def spatial_transform_motion(R, p, w, v):
+    """World-origin Plucker coordinates of a child-frame motion vector
+    (w, v): w_w = R w; v_w = R v + p x (R w)."""
+    ww = matvec3(R, w)
+    vv = vadd(matvec3(R, v), cross3(p, ww))
+    return ww, vv

@@ -1,0 +1,740 @@
+"""Batch-last tiled timestep: the whole constrained step as trace-time
+scalar algebra over env tiles (ops/tile.py).
+
+This is the TPU speed-of-light execution path for the headline benchmark.
+The vmap path (sim/step.py) lowers to hundreds of small batch-first HLOs,
+each a round-trip through HBM; measured on a v5e core the articulated
+dynamics + its VJP dominate the fwd+grad step (benchmarks/ablate2.py). Here
+every per-env scalar is one (8, L) lane tile, every small-dimension loop
+unrolls at trace time, structural zeros (ancestor mask, axis-aligned frames,
+constant plane normals) fold away, and the whole step becomes one straight
+chain of full-tile VPU ops — runnable as plain XLA or as the body of a
+single Pallas kernel (ops/pallas_step.py).
+
+Supported (v1): REVOLUTE / PRISMATIC / PLANAR / WELD joints; capsule-plane &
+sphere-plane contacts; joint limits; the lowrank boxed-LCP with Woodbury
+polish. Models outside this subset raise TileStepUnsupported — callers fall
+back to the vmap path. Gradients flow wrt (q, v, tau) only: model parameters
+are baked as trace-time constants (use the vmap path for parameter
+Jacobians / WithRespectTo).
+
+Gradient semantics match ops/lcp_lowrank.py: the LCP warm start + all but
+the final polish pass sit behind stop_gradient, and the final pass solves
+the active-set KKT system from scratch — differentiating through that solve
+IS the implicit-function-theorem gradient (same algebra as the custom_vjp,
+without the custom_vjp).
+
+Capability parity anchors: World::step / BoxedLcpConstraintSolver /
+ConstrainedGroupGradientMatrices (SURVEY.md §2.1, §2.2, §3.1).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from diffdart_tpu.dynamics.model import GeomType, JointType, Model
+from diffdart_tpu.ops import tile as T
+
+
+class TileStepUnsupported(NotImplementedError):
+    pass
+
+
+def _sg(x):
+    if x is None or isinstance(x, (int, float)):
+        return x
+    return jax.lax.stop_gradient(x)
+
+
+_BARRIERS = True  # build_pallas_step disables these inside the Mosaic kernel
+
+
+def _barrier(xs):
+    """Materialization fence over a list of tile elements.
+
+    Highly-reused expression chains (Minv, each LCP sweep's lam) otherwise
+    get duplicated into every consumer by XLA fusion; an
+    optimization_barrier pins each shared value to one materialization.
+    NOTE XLA:CPU expands barriers away before fusion, so on CPU the real
+    protection is the tuple-of-tiles output format (no concatenate-rooted
+    fusions — their elemental emitter re-evaluates operand chains per output
+    element; observed 13 s per jnp.stack of a 2k-op chain on CPU).
+    Constants/Nones pass through untouched."""
+    if not _BARRIERS:
+        return list(xs)
+    live_idx = [i for i, x in enumerate(xs) if not T.is_const(x)]
+    if not live_idx:
+        return list(xs)
+    fenced = jax.lax.optimization_barrier(tuple(xs[i] for i in live_idx))
+    out = list(xs)
+    for i, f in zip(live_idx, fenced):
+        out[i] = f
+    return out
+
+
+def _dot6(a, b):
+    """a, b: ((w0,w1,w2),(v0,v1,v2)) 6-vectors as (w, v) pairs of lists."""
+    return T.add(T.dot(a[0], b[0]), T.dot(a[1], b[1]))
+
+
+def _tangent_basis_const(n):
+    """Constant-normal tangent basis matching constraints.assembly.tangent_basis."""
+    n = np.asarray(n, float)
+    ax = int(np.argmin(np.abs(n)))
+    e = np.eye(3)[ax]
+    t1 = np.cross(n, e)
+    t1 = t1 / np.linalg.norm(t1)
+    t2 = np.cross(n, t1)
+    return t1, t2
+
+
+def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True):
+    """Specialize the full constrained step for `model`.
+
+    output='stacked': step(q, v, tau) on stacked tiles of shape (nq|nv, S, L)
+    (any S, L; (8, 128k) is the hardware layout) -> (q', v') same shapes.
+    output='tiles': step(q_tuple, v_tuple, tau_tuple) on tuples of (S, L)
+    tiles -> (q'_tuple, v'_tuple). Prefer 'tiles' inside lax.scan loops —
+    it avoids concatenate-rooted fusions whose XLA:CPU elemental emitter
+    re-evaluates the whole step chain per output element (see _barrier).
+
+    barriers=False drops the optimization_barrier fences (used inside Pallas
+    kernels, where Mosaic compiles the straight-line body directly).
+    """
+    nb, nv, nq = model.nbody, model.nv, model.nq
+    jt = tuple(int(j) for j in model.jtype)
+    parent = tuple(int(p) for p in model.parent)
+    q_off = tuple(int(o) for o in model.q_off)
+    v_off = tuple(int(o) for o in model.v_off)
+    X_rot = np.asarray(model.X_rot, float)
+    X_pos = np.asarray(model.X_pos, float)
+    axis = np.asarray(model.axis, float)
+    axis2 = np.asarray(model.axis2, float)
+    mass = np.asarray(model.mass, float)
+    com = np.asarray(model.com, float)
+    inertia = np.asarray(model.inertia, float)
+    damping = np.asarray(model.damping, float)
+    armature = np.asarray(model.armature, float)
+    spring = np.asarray(model.spring_stiff, float)
+    q_rest = np.asarray(model.q_rest, float)
+    anc = np.asarray(model.ancestor_mask, float)  # (nb, nv) 0/1
+    grav = np.asarray(model.gravity, float)
+    dt = float(model.dt)
+    cfm = float(model.contact_cfm)
+    erp = float(model.baumgarte_erp)
+
+    ok_joints = {JointType.REVOLUTE, JointType.PRISMATIC, JointType.PLANAR, JointType.WELD}
+    for j in jt:
+        if j not in ok_joints:
+            raise TileStepUnsupported(f"tile step: joint type {j} not supported yet")
+    if model.servo_dofs or model.friction_dofs or model.ball_pairs or model.weld_pairs:
+        raise TileStepUnsupported("tile step: servo/joint-friction/bilateral rows not supported yet")
+
+    # ---- static collision plan: (body, geom consts) per pair, plane side const
+    plan = []
+    gt = model.geom_type
+    for (a, b) in model.col_pairs:
+        ta, tb = gt[a], gt[b]
+        if tb == GeomType.PLANE and ta in (GeomType.CAPSULE, GeomType.SPHERE):
+            g, pl = a, b
+        elif ta == GeomType.PLANE and tb in (GeomType.CAPSULE, GeomType.SPHERE):
+            g, pl = b, a
+        else:
+            raise TileStepUnsupported(f"tile step: pair types ({ta},{tb}) not supported yet")
+        if model.geom_body[pl] >= 0:
+            raise TileStepUnsupported("tile step: moving plane not supported")
+        n_w = np.asarray(model.geom_rot[pl], float)[:, 2]
+        p_pl = np.asarray(model.geom_pos[pl], float)
+        fr = float(min(model.geom_friction[g], model.geom_friction[pl]))
+        rest = float(model.geom_restitution[g] * model.geom_restitution[pl])
+        plan.append(
+            dict(
+                body=int(model.geom_body[g]),
+                gtype=int(gt[g]),
+                size=np.asarray(model.geom_size[g], float),
+                grot=np.asarray(model.geom_rot[g], float),
+                gpos=np.asarray(model.geom_pos[g], float),
+                n=n_w,
+                p_pl=p_pl,
+                friction=fr,
+                restitution=rest,
+            )
+        )
+    # slots per pair: capsule 2, sphere 1 — must match collide._DISPATCH so
+    # row layout agrees with the vmap path
+    slots = [2 if p["gtype"] == GeomType.CAPSULE else 1 for p in plan]
+    nc = sum(slots)
+    lim = tuple(int(d) for d in model.limited_dofs) if model.enable_joint_limits else ()
+    nlim = len(lim)
+    q_lo = np.asarray(model.q_lo, float)
+    q_hi = np.asarray(model.q_hi, float)
+    D = 3 * nc + 2 * nlim
+    iters = int(model.contact_iters)
+    polish_passes = 2 if model.lcp_polish else 0
+
+    anc_dofs = [tuple(int(j) for j in np.nonzero(anc[b])[0]) for b in range(nb)]
+
+    def step(q_st, v_st, tau_st):
+        global _BARRIERS
+        _BARRIERS = barriers
+        q = [q_st[i] for i in range(nq)]
+        v = [v_st[i] for i in range(nv)]
+        tau = [tau_st[i] for i in range(nv)]
+        zero_like = q_st[0] * 0.0  # tile of zeros for materialization
+
+        # ---------------- FK ----------------
+        R = [None] * nb
+        P = [None] * nb
+        for i in range(nb):
+            o = q_off[i]
+            if jt[i] == JointType.REVOLUTE:
+                Rj = T.exp_so3_const_axis(axis[i], q[o])
+                pj = [None, None, None]
+            elif jt[i] == JointType.PRISMATIC:
+                Rj = T.eye3()
+                pj = T.vscale([float(a) for a in axis[i]], q[o])
+            elif jt[i] == JointType.PLANAR:
+                n_ax = np.cross(axis[i], axis2[i])
+                Rj = T.exp_so3_const_axis(n_ax, q[o + 2])
+                pj = T.vadd(
+                    T.vscale([float(a) for a in axis[i]], q[o]),
+                    T.vscale([float(a) for a in axis2[i]], q[o + 1]),
+                )
+            else:  # WELD
+                Rj = T.eye3()
+                pj = [None, None, None]
+            Xr = [[float(X_rot[i][r, c]) or None for c in range(3)] for r in range(3)]
+            Xp = [float(x) or None for x in X_pos[i]]
+            R_pc, p_pc = T.tf_compose_t(Xr, Xp, Rj, pj)
+            if parent[i] < 0:
+                R[i], P[i] = R_pc, p_pc
+            else:
+                R[i], P[i] = T.tf_compose_t(R[parent[i]], P[parent[i]], R_pc, p_pc)
+
+        # ---------------- world Jacobian columns Sw (per dof) ----------------
+        Sw = [None] * nv  # (w, v) pairs of len-3 lists
+        dof_body = [None] * nv
+        # local subspace rows per body (child frame) for the sdot extra terms
+        for i in range(nb):
+            o = v_off[i]
+            if jt[i] == JointType.REVOLUTE:
+                rows = [([float(a) or None for a in axis[i]], [None] * 3)]
+            elif jt[i] == JointType.PRISMATIC:
+                rows = [([None] * 3, [float(a) or None for a in axis[i]])]
+            elif jt[i] == JointType.PLANAR:
+                n_ax = np.cross(axis[i], axis2[i])
+                # Rj^T @ axis: columns of Rj dotted with axis
+                Rj = T.exp_so3_const_axis(n_ax, q[q_off[i] + 2])
+                ra = T.matTvec3(Rj, [float(a) for a in axis[i]])
+                rb = T.matTvec3(Rj, [float(a) for a in axis2[i]])
+                rows = [([None] * 3, ra), ([None] * 3, rb), ([float(x) or None for x in n_ax], [None] * 3)]
+            else:
+                rows = []
+            for k, (w_l, v_l) in enumerate(rows):
+                ww, vv = T.spatial_transform_motion(R[i], P[i], w_l, v_l)
+                Sw[o + k] = (ww, vv)
+                dof_body[o + k] = i
+
+        # ---------------- body velocities ----------------
+        V = []  # (w, v) per body
+        for b in range(nb):
+            w_acc = [None] * 3
+            v_acc = [None] * 3
+            for j in anc_dofs[b]:
+                w_acc = T.vadd(w_acc, T.vscale(Sw[j][0], v[j]))
+                v_acc = T.vadd(v_acc, T.vscale(Sw[j][1], v[j]))
+            V.append((w_acc, v_acc))
+
+        # ---------------- world spatial inertia (structured) ----------------
+        # I_w applied to a motion (w, v) about the world origin:
+        #   n = Ic_w w - m c x (c x w) + m c x v;  f = m v - m c x w
+        Iw = []
+        for b in range(nb):
+            c_w = T.vadd(T.matvec3(R[b], [float(x) for x in com[b]]), P[b])
+            Ic = [[float(inertia[b][r, c]) or None for c in range(3)] for r in range(3)]
+            Ic_w = T.matmul3(T.matmul3(R[b], Ic), T.transpose3(R[b]))
+            Iw.append((float(mass[b]), c_w, Ic_w))
+
+        def iw_apply(b, w, vl):
+            m, c, Ic_w = Iw[b]
+            cxw = T.cross3(c, w)
+            n = T.vadd(
+                T.matvec3(Ic_w, w),
+                T.vscale(T.vsub(T.cross3(c, vl), T.cross3(c, cxw)), m),
+            )
+            f = T.vsub(T.vscale(vl, m), T.vscale(cxw, m))
+            return n, f
+
+        # ---------------- mass matrix ----------------
+        M = [[None] * nv for _ in range(nv)]
+        for b in range(nb):
+            F_cols = {}
+            for j in anc_dofs[b]:
+                F_cols[j] = iw_apply(b, Sw[j][0], Sw[j][1])
+            for jj in anc_dofs[b]:
+                for ii in anc_dofs[b]:
+                    if ii > jj:
+                        continue
+                    M[ii][jj] = T.add(M[ii][jj], _dot6(Sw[ii], F_cols[jj]))
+        for i in range(nv):
+            extra = float(armature[i]) + dt * float(damping[i]) + dt * dt * float(spring[i])
+            M[i][i] = T.add(M[i][i], extra)
+            for j in range(i):
+                M[i][j] = M[j][i]
+
+        # ---------------- bias forces C ----------------
+        # sdot_j = ad_{V_b} Sw_j (+ dS/dq for PLANAR translation rows)
+        sdot = [None] * nv
+        for j in range(nv):
+            b = dof_body[j]
+            w1, u1 = V[b]
+            w2, u2 = Sw[j]
+            sw = T.cross3(w1, w2)
+            sv = T.vadd(T.cross3(w1, u2), T.cross3(u1, w2))
+            i_body = b
+            if jt[i_body] == JointType.PLANAR and (j - v_off[i_body]) in (0, 1):
+                # d/dt (Rj^T a) = -q2dot (n x (Rj^T a)); world lin = R_b @ that
+                n_ax = np.cross(axis[i_body], axis2[i_body])
+                k = j - v_off[i_body]
+                a_c = axis[i_body] if k == 0 else axis2[i_body]
+                Rj = T.exp_so3_const_axis(n_ax, q[q_off[i_body] + 2])
+                rta = T.matTvec3(Rj, [float(x) for x in a_c])
+                dlin = T.vscale(T.cross3([float(x) or None for x in n_ax], rta), v[v_off[i_body] + 2])
+                sv = T.vsub(sv, T.matvec3(R[i_body], dlin))
+            sdot[j] = (sw, sv)
+        C = [None] * nv
+        a_grav_w = [None] * 3
+        a_grav_v = [float(g) or None for g in grav]
+        for b in range(nb):
+            aw = [None] * 3
+            av = [T.neg(x) for x in a_grav_v]
+            for j in anc_dofs[b]:
+                aw = T.vadd(aw, T.vscale(sdot[j][0], v[j]))
+                av = T.vadd(av, T.vscale(sdot[j][1], v[j]))
+            del a_grav_w
+            a_grav_w = [None] * 3
+            Fn, Ff = iw_apply(b, aw, av)
+            # + V x* (I V)
+            nIV, fIV = iw_apply(b, V[b][0], V[b][1])
+            w1, u1 = V[b]
+            Fn = T.vadd(Fn, T.vadd(T.cross3(w1, nIV), T.cross3(u1, fIV)))
+            Ff = T.vadd(Ff, T.cross3(w1, fIV))
+            for i in anc_dofs[b]:
+                C[i] = T.add(C[i], _dot6(Sw[i], (Fn, Ff)))
+
+        # ---------------- unconstrained velocity ----------------
+        rhs = []
+        for i in range(nv):
+            f_j = T.mul(-float(damping[i]), v[i])
+            if float(spring[i]):
+                # scalar joints only in this subset: tangent == q
+                f_j = T.sub(f_j, T.mul(float(spring[i]), T.add(T.sub(q[i], float(q_rest[i])), T.mul(dt, v[i]))))
+            rhs.append(T.add(tau[i], T.sub(f_j, C[i])))
+        # Minv columns + v_star (one factorization, nv substitutions)
+        L_M = T.chol_factor(M)
+        Minv = [[None] * nv for _ in range(nv)]
+        for k in range(nv):
+            e = [1.0 if i == k else None for i in range(nv)]
+            col = T.chol_solve(L_M, e)
+            for i in range(nv):
+                Minv[i][k] = col[i]
+        # fence: Minv feeds every LCP sweep; without this XLA fusion clones
+        # the whole Cholesky chain into each consumer (see _barrier)
+        flat = _barrier([Minv[i][k] for i in range(nv) for k in range(nv)])
+        for i in range(nv):
+            for k in range(nv):
+                Minv[i][k] = flat[i * nv + k]
+        v_star = [
+            T.add(v[i], T.mul(dt, T.dot(Minv[i], rhs))) for i in range(nv)
+        ]
+        v_star = _barrier(v_star)
+
+        if D == 0:
+            v_new = v_star
+            q_new = _integrate(q, v_new)
+            return q_new, v_new
+
+        # ---------------- collision (capsule/sphere vs fixed plane) ----------
+        # contact slot lists (order matches the grouped narrowphase plan:
+        # all pairs share one fn type here, slots in pair order)
+        con_pos = []  # world point, len-3 element list
+        con_depth = []
+        con_valid = []
+        con_n = []  # constant normal (floats)
+        con_body = []
+        con_mu = []
+        con_rest = []
+        for pidx, pp in enumerate(plan):
+            b = pp["body"]
+            Rg, pg = T.tf_compose_t(
+                R[b],
+                P[b],
+                [[float(pp["grot"][r, c]) or None for c in range(3)] for r in range(3)],
+                [float(x) or None for x in pp["gpos"]],
+            )
+            n_c = [float(x) for x in pp["n"]]
+            p_pl = [float(x) for x in pp["p_pl"]]
+            r_g = float(pp["size"][0])
+            if pp["gtype"] == GeomType.CAPSULE:
+                hl = float(pp["size"][1])
+                ax_w = [Rg[0][2], Rg[1][2], Rg[2][2]]
+                ends = [T.vsub(pg, T.vscale(ax_w, hl)), T.vadd(pg, T.vscale(ax_w, hl))]
+            else:
+                ends = [pg]
+            for cpt in ends:
+                # depth = r - (c - p_pl) . n
+                dvec = T.vsub(cpt, p_pl)
+                depth = T.sub(r_g, T.dot(dvec, n_c))
+                pos = T.vsub(cpt, T.vscale(n_c, T.sub(r_g, T.mul(0.5, depth))))
+                con_pos.append(pos)
+                con_depth.append(depth)
+                con_valid.append(T.materialize(depth, zero_like) > 0)
+                con_n.append(n_c)
+                con_body.append(b)
+                con_mu.append(pp["friction"])
+                con_rest.append(pp["restitution"])
+
+        # ---------------- constraint rows ----------------
+        # layout: [nc normals | nc t1 | nc t2 | nlim lower | nlim upper]
+        J_rows = [None] * D  # dict dof -> element
+        b_vec = [None] * D
+        lo_inf = [None] * D  # semantics: lo = 0 for all supported rows
+        valid = [None] * D
+        mu_row = [0.0] * D
+        fidx = [-1] * D
+        for c in range(nc):
+            bdy = con_body[c]
+            n_c = con_n[c]
+            t1_c, t2_c = _tangent_basis_const(n_c)
+            lin = {}
+            for j in anc_dofs[bdy]:
+                lin[j] = T.vadd(Sw[j][1], T.cross3(Sw[j][0], con_pos[c]))
+            row_n = {j: T.dot(lin[j], n_c) for j in lin}
+            row_t1 = {j: T.dot(lin[j], [float(x) for x in t1_c]) for j in lin}
+            row_t2 = {j: T.dot(lin[j], [float(x) for x in t2_c]) for j in lin}
+            J_rows[c] = row_n
+            J_rows[nc + c] = row_t1
+            J_rows[2 * nc + c] = row_t2
+            push = T.minimum(
+                T.mul(erp / dt, T.maximum(T.sub(con_depth[c], 1e-5), None)), 2.0
+            )
+            target = push
+            if con_rest[c]:
+                vn_pre = T.dot([row_n.get(j) for j in range(nv)], v)
+                bounce = T.mul(con_rest[c], T.maximum(T.sub(T.neg(vn_pre), 0.01), None))
+                target = T.maximum(push, bounce)
+            b_vec[c] = T.sub(_sparse_dot(row_n, v_star), target)
+            b_vec[nc + c] = _sparse_dot(row_t1, v_star)
+            b_vec[2 * nc + c] = _sparse_dot(row_t2, v_star)
+            valid[c] = valid[nc + c] = valid[2 * nc + c] = con_valid[c]
+            mu_row[nc + c] = con_mu[c]
+            mu_row[2 * nc + c] = con_mu[c]
+            fidx[nc + c] = c
+            fidx[2 * nc + c] = c
+        for li, dof in enumerate(lim):
+            lo_c, hi_c = float(q_lo[dof]), float(q_hi[dof])
+            # lower limit row
+            viol_lo = T.sub(lo_c, q[dof])
+            pred_lo = T.sub(lo_c, T.add(q[dof], T.mul(dt, v[dof])))
+            act_lo = (T.materialize(viol_lo, zero_like) > 0) | (T.materialize(pred_lo, zero_like) > 0)
+            t_lo = T.minimum(T.mul(erp / dt, T.maximum(viol_lo, None)), 2.0)
+            J_rows[3 * nc + li] = {dof: 1.0}
+            b_vec[3 * nc + li] = T.sub(v_star[dof], t_lo)
+            valid[3 * nc + li] = act_lo
+            # upper limit row
+            viol_hi = T.sub(q[dof], hi_c)
+            pred_hi = T.sub(T.add(q[dof], T.mul(dt, v[dof])), hi_c)
+            act_hi = (T.materialize(viol_hi, zero_like) > 0) | (T.materialize(pred_hi, zero_like) > 0)
+            t_hi = T.minimum(T.mul(erp / dt, T.maximum(viol_hi, None)), 2.0)
+            J_rows[3 * nc + nlim + li] = {dof: -1.0}
+            b_vec[3 * nc + nlim + li] = T.sub(T.neg(v_star[dof]), t_hi)
+            valid[3 * nc + nlim + li] = act_hi
+
+        lam = _tile_lcp(
+            J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters,
+            polish_passes, zero_like,
+        )
+
+        # v_new = v_star + Minv J^T lam
+        jt_lam = [None] * nv
+        for i in range(D):
+            for j, el in J_rows[i].items():
+                jt_lam[j] = T.fma(jt_lam[j], el, lam[i])
+        v_new = [T.add(v_star[k], T.dot(Minv[k], jt_lam)) for k in range(nv)]
+        q_new = _integrate(q, v_new)
+        return q_new, v_new
+
+    def _integrate(q, v_new):
+        # scalar joints only in the supported subset: q' = q + dt v
+        return [T.add(q[i], T.mul(dt, v_new[i])) for i in range(nq)]
+
+    def step_tiles(q_t, v_t, tau_t):
+        qn, vn = step(q_t, v_t, tau_t)
+        like = q_t[0]
+        return (
+            tuple(T.materialize(x, like) for x in qn),
+            tuple(T.materialize(x, like) for x in vn),
+        )
+
+    def step_stacked(q_st, v_st, tau_st):
+        qn, vn = step_tiles(
+            tuple(q_st[i] for i in range(nq)),
+            tuple(v_st[i] for i in range(nv)),
+            tuple(tau_st[i] for i in range(nv)),
+        )
+        return jnp.stack(qn), jnp.stack(vn)
+
+    if output == "tiles":
+        return step_tiles
+    return step_stacked
+
+
+def _sparse_dot(row: dict, vec):
+    acc = None
+    for j, el in row.items():
+        acc = T.fma(acc, el, vec[j])
+    return acc
+
+
+def _tile_lcp(J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters, passes, zero_like):
+    """Boxed LCP over tile rows: phased-Jacobi warm start + active-set
+    Woodbury polish. Row semantics match ops/lcp.py for the supported row
+    types (contact normals lo=0/hi=inf, friction rows moving bounds, limit
+    rows lo=0/hi=inf); invalid rows are pinned at 0.
+
+    Gradients: everything up to the final polish pass is stop_gradient'ed;
+    AD through the final pass's KKT solve is the IFT gradient."""
+    is_fr = [fidx[i] >= 0 for i in range(D)]
+
+    # fence the assembly products: every sweep consumes J rows / rhs, and
+    # XLA fusion otherwise duplicates their upstream chains per sweep
+    for i in range(D):
+        keys = list(J_rows[i].keys())
+        vals = _barrier([J_rows[i][k] for k in keys])
+        J_rows[i] = dict(zip(keys, vals))
+    b_vec = _barrier(b_vec)
+
+    # W = Minv J^T : (nv, D) columns, sparse over J rows
+    def w_col(i):
+        return [_sparse_dot_mat(Minv, k, J_rows[i]) for k in range(nv)]
+
+    W = [w_col(i) for i in range(D)]  # W[i][k] = (Minv J^T)[k, i]
+
+    def a_entry(i, j):
+        # A[i][j] = J_i . W_j (+cfm on diag)
+        acc = None
+        for k, el in J_rows[i].items():
+            acc = T.fma(acc, el, W[j][k])
+        if i == j:
+            acc = T.add(acc, cfm)
+        return acc
+
+    diag = [T.maximum(a_entry(i, i), 1e-12) for i in range(D)]
+    # rowsum of |A| for the adaptive sweep scaling; A is symmetric, so each
+    # off-diagonal entry is computed once and credited to both rows
+    rs = [[jnp.abs(T.materialize(diag[i], zero_like))] for i in range(D)]
+    for i in range(D):
+        for j in range(i + 1, D):
+            e = a_entry(i, j)
+            if e is None:
+                continue
+            ae = abs(e) if T.is_const(e) else jnp.abs(e)
+            rs[i].append(ae)
+            rs[j].append(ae)
+    rowsum = [T.maximum(sum(r[1:], r[0]), 1e-12) for r in rs]
+    scale = [
+        T.div(jnp.clip(T.div(diag[i], rowsum[i]), 0.3, 0.9), diag[i]) for i in range(D)
+    ]
+
+    def matvec(lam):
+        # A lam = J (Minv (J^T lam)) + cfm lam, matrix-free
+        jt_lam = [None] * nv
+        for i in range(D):
+            if lam[i] is None:
+                continue
+            for j, el in J_rows[i].items():
+                jt_lam[j] = T.fma(jt_lam[j], el, lam[i])
+        u = [T.dot(Minv[k], jt_lam) for k in range(nv)]
+        out = []
+        for i in range(D):
+            acc = T.mul(cfm, lam[i])
+            for j, el in J_rows[i].items():
+                acc = T.fma(acc, el, u[j])
+            out.append(acc)
+        return out
+
+    def clip_row(i, cand, lam):
+        """Project candidate onto the row's (possibly moving) box; invalid
+        rows pin to 0."""
+        if is_fr[i]:
+            bound = T.mul(mu_row[i], lam[fidx[i]])  # >= 0 since lam_n >= 0
+            c = jnp.clip(
+                T.materialize(cand, zero_like),
+                T.neg(T.materialize(bound, zero_like)),
+                T.materialize(bound, zero_like),
+            )
+        else:
+            c = T.maximum(cand, None)  # lo = 0, hi = inf
+        return T.where(valid[i], c, None)
+
+    scale = _barrier(scale)
+
+    # ---- phased Jacobi sweeps (warm start; gradients cut below) ----
+    lam = [None] * D
+    for _ in range(iters):
+        for phase in (False, True):
+            r = matvec(lam)
+            new = list(lam)
+            for i in range(D):
+                if is_fr[i] != phase:
+                    continue
+                cand = T.sub(lam[i], T.mul(scale[i], T.add(r[i], b_vec[i])))
+                new[i] = clip_row(i, cand, lam)
+            lam = _barrier(new)
+    lam = [_sg(x) for x in lam]
+
+    # ---- active-set polish (Woodbury); final pass carries gradients ----
+    _TOL = 1e-8
+
+    def one_pass(lam):
+        lam_m = [T.materialize(x, zero_like) for x in lam]
+        free, fr_bound, s_sign = [], [], []
+        for i in range(D):
+            sc = jnp.maximum(jnp.abs(lam_m[i]), 1.0)
+            if is_fr[i]:
+                bound = T.materialize(T.mul(mu_row[i], lam[fidx[i]]), zero_like)
+                at_lo = lam_m[i] <= -bound + _TOL * sc
+                at_hi = lam_m[i] >= bound - _TOL * sc
+                degen = at_lo & at_hi
+                free.append(~at_lo & ~at_hi & valid[i])
+                # the friction-bound coupling EXCLUDES degenerate rows
+                # (zero-width box: lam pins to 0, no B column) — matches
+                # ops/lcp.py:_classify fr_bound
+                fr_bound.append((at_lo | at_hi) & ~degen & valid[i])
+                s_sign.append(jnp.where(at_hi, 1.0, -1.0))
+            else:
+                at_lo = lam_m[i] <= _TOL * sc
+                free.append(~at_lo & valid[i])
+                fr_bound.append(None)
+                s_sign.append(None)
+        Ffloat = [jnp.where(free[i], 1.0, 0.0) for i in range(D)]
+        fbm = [
+            (jnp.where(fr_bound[i], 1.0, 0.0) * s_sign[i] * mu_row[i])
+            if is_fr[i]
+            else None
+            for i in range(D)
+        ]
+
+        # S = cfm M + J^T (I+B) F J  (nv x nv), built from sparse rows:
+        # X[i] = F_i J_i + fbm_i F_n J_n; S += J_i^T X[i] summed over i
+        S = [[T.mul(cfm, M[a][b_]) for b_ in range(nv)] for a in range(nv)]
+        for i in range(D):
+            # X_i as sparse dict
+            Xi = {j: T.mul(Ffloat[i], el) for j, el in J_rows[i].items()}
+            if is_fr[i]:
+                nrm = fidx[i]
+                for j, el in J_rows[nrm].items():
+                    Xi[j] = T.add(Xi.get(j), T.mul(T.mul(fbm[i], Ffloat[nrm]), el))
+            for a, ea in J_rows[i].items():
+                for b_, xb in Xi.items():
+                    S[a][b_] = T.add(S[a][b_], T.mul(ea, xb))
+        # rhs r = -F (b + A c); all pinned rows sit at c = 0 in the supported
+        # subset (contacts/limits at lo = 0, friction via the T coupling), so
+        # r = -F b.
+        r = [T.mul(Ffloat[i], T.neg(b_vec[i])) for i in range(D)]
+        rhs_u = [None] * nv
+        # (I+B) r: friction-bound row i gains s_i mu_i r_{n(i)}
+        IBr = []
+        for i in range(D):
+            t = r[i]
+            if is_fr[i]:
+                t = T.add(t, T.mul(fbm[i], r[fidx[i]]))
+            IBr.append(t)
+        for i in range(D):
+            if IBr[i] is None:
+                continue
+            for j, el in J_rows[i].items():
+                rhs_u[j] = T.fma(rhs_u[j], el, IBr[i])
+        # S is unsymmetric when friction-bound coupling is active: GE, not
+        # Cholesky (matches ops/smalllinalg.solve_nopivot_small)
+        u = T.solve_ge(S, rhs_u)
+        # x = (r - F J u) / cfm on the free set
+        x = []
+        for i in range(D):
+            ju = _sparse_dot(J_rows[i], u)
+            x.append(T.mul(Ffloat[i], T.div(T.sub(r[i], T.mul(Ffloat[i], ju)), cfm)))
+        lam_new = []
+        for i in range(D):
+            t = x[i]
+            if is_fr[i]:
+                t = T.add(t, T.mul(fbm[i], x[fidx[i]]))
+            lam_new.append(t)
+        # project onto moving box
+        return [clip_row(i, lam_new[i], lam_new) for i in range(D)]
+
+    if passes == 0:
+        return [T.materialize(x, zero_like) for x in lam]
+
+    def nat_residual(lam_m):
+        """Natural-map residual per env tile (ops/lcp.py:_nat_residual)."""
+        w = matvec(lam_m)
+        res = None
+        for i in range(D):
+            proj = clip_row(i, T.sub(lam_m[i], T.add(w[i], b_vec[i])), lam_m)
+            res = T.maximum(res, jnp.abs(T.materialize(T.sub(lam_m[i], proj), zero_like)))
+        return T.materialize(res, zero_like)
+
+    # ---- guarded polish passes (primal only, all stop_gradient'ed),
+    # structurally identical to ops/lcp_lowrank._polish_lowrank: iterate
+    # from the last pass result, fall back on non-finite, return the best
+    # iterate by natural residual
+    lam_it = [T.materialize(_sg(x), zero_like) for x in lam]
+    best = lam_it
+    best_res = nat_residual(best)
+    for _ in range(passes):
+        cand = [T.materialize(_sg(x), zero_like) for x in one_pass(lam_it)]
+        finite = cand[0] == cand[0]
+        for x in cand:
+            finite = finite & jnp.isfinite(x)
+        lam_it = _barrier([jnp.where(finite, c, p) for c, p in zip(cand, lam_it)])
+        res = nat_residual(lam_it)
+        better = res < best_res
+        best = _barrier([jnp.where(better, c, b_) for c, b_ in zip(lam_it, best)])
+        best_res = jnp.minimum(res, best_res)
+
+    # ---- gradient attachment (straight-through IFT): the primal is exactly
+    # `best`; the tangent comes from one more one_pass AT best, whose KKT
+    # solve linearizes to the implicit-function-theorem gradient (one_pass is
+    # idempotent at the solution). Envs where that extra pass misbehaves keep
+    # the primal and get zero tangent instead of garbage.
+    #
+    # Double-where NaN hygiene: a NaN/Inf anywhere in the gradient pass
+    # poisons the whole batch through the untaken where-branch (NaN * 0 =
+    # NaN in the VJP). So first PROBE the pass under stop_gradient to find
+    # the envs where it degrades, then run the differentiable pass on
+    # sanitized inputs (lam <- 0 for bad envs: all-pinned classification,
+    # benign solve) and discard its values for those envs.
+    probe = [T.materialize(x, zero_like) for x in one_pass(best)]
+    finite = probe[0] == probe[0]
+    for x in probe:
+        finite = finite & jnp.isfinite(x)
+    drift = None
+    for g, b_ in zip(probe, best):
+        drift = T.maximum(drift, jnp.abs(jnp.where(jnp.isfinite(g), g, 1e30) - b_))
+    ok = finite & (T.materialize(drift, zero_like) <= 1e-5 * (best_res + 1.0))
+    safe_in = [jnp.where(ok, b_, 0.0) for b_ in best]
+    out_g = [T.materialize(x, zero_like) for x in one_pass(safe_in)]
+    out = [
+        jnp.where(ok, b_ + (g - jax.lax.stop_gradient(g)), b_)
+        for g, b_ in zip(out_g, best)
+    ]
+    return _barrier(out)
+
+
+def _sparse_dot_mat(Mat, k, row: dict):
+    acc = None
+    for j, el in row.items():
+        acc = T.fma(acc, Mat[k][j], el)
+    return acc

@@ -28,16 +28,30 @@ import hashlib  # noqa: E402
 
 
 def _machine_fingerprint() -> str:
+    """Keyed by cpuinfo flags AND boot id: this VM can migrate between
+    physical hosts across boots with identical /proc/cpuinfo but different
+    LLVM-detected features — a flags-only key loaded stale AOT code that
+    executed to WRONG RESULTS (not SIGILL; observed round 2: garbage 9e77
+    trajectory values + cpu_aot_loader machine-feature mismatch errors). The
+    CPU cache is therefore per-boot; the TPU device cache (target-coded) is
+    machine-independent and persists."""
+    key = ""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
                 if line.startswith("flags"):
-                    return hashlib.md5(line.encode()).hexdigest()[:10]
+                    key = line
+                    break
+    except OSError:
+        import platform
+
+        key = platform.processor()
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            key += f.read()
     except OSError:
         pass
-    import platform
-
-    return hashlib.md5(platform.processor().encode()).hexdigest()[:10]
+    return hashlib.md5(key.encode()).hexdigest()[:10]
 
 
 _cache = os.path.join(

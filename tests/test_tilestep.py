@@ -1,0 +1,206 @@
+"""Tiled batch-last step (sim/tilestep.py + ops/pallas_step.py): parity with
+the canonical vmap step, gradient agreement, and the Pallas wrapper in
+interpret mode.
+
+The tile path is a pure re-layout of the same physics, so trajectories must
+match the vmap path to float roundoff over many steps, and BPTT gradients
+must agree (the LCP gradient is the same IFT algebra — final-polish-pass AD
+vs custom_vjp). Tests use a small planar worm (PLANAR root + revolute link,
+capsule-plane contacts with friction): big enough to exercise every tiled
+code path (FK composition, mass-matrix Cholesky, bias forces, contact rows,
+friction coupling, the boxed LCP), small enough that the unrolled trace
+compiles quickly on the CPU suite. The full-size half-cheetah tile path is
+exercised on real TPU by benchmarks/tile_bench.py and bench.py.
+
+The tuple-of-tiles output format is deliberate: stacking outputs inside the
+jitted step produces a concatenate-rooted XLA fusion whose CPU elemental
+emitter re-evaluates the whole step chain per output element (13 s/step
+observed) — see sim/tilestep.py:_barrier."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffdart_tpu.dynamics.model import State
+from diffdart_tpu.models.scenes import jump_worm
+from diffdart_tpu.sim import step
+from diffdart_tpu.sim.tilestep import TileStepUnsupported, build_tile_step
+
+B = 16
+S, L = 2, 8
+
+
+def _model():
+    return jump_worm(dt=2e-3, n_links=2)
+
+
+def _init_q(m):
+    # root slightly above rest so the capsules make and break contact
+    return np.asarray(m.neutral_q()).copy() + np.array([0.06, 0.0, 0.25, -0.5])[: m.nq]
+
+
+def _batch(m, seed=0, scale=0.05):
+    rng = np.random.RandomState(seed)
+    q = np.tile(_init_q(m), (B, 1)) + scale * rng.randn(B, m.nq)
+    v = 0.3 * rng.randn(B, m.nv)
+    tau = 0.5 * rng.randn(B, m.nv)
+    return jnp.asarray(q), jnp.asarray(v), jnp.asarray(tau)
+
+
+def _tiles(x):
+    """(B, k) -> tuple of k (S, L) tiles."""
+    t = x.T.reshape(x.shape[1], S, L)
+    return tuple(t[i] for i in range(x.shape[1]))
+
+
+def _untiles(xs):
+    """tuple of k (S, L) tiles -> (B, k)."""
+    return jnp.stack([x.reshape(B) for x in xs], axis=1)
+
+
+class TestTileStepParity:
+    def test_trajectory_matches_vmap_step(self):
+        """Per-step parity along a 40-step reference trajectory. The tile
+        input is re-synced to the reference state each step: contact
+        dynamics are chaotic, so comparing free-running trajectories would
+        amplify benign summation-order roundoff into test noise, while this
+        form still visits 40 distinct contact configurations."""
+        m = _model()
+        qb, vb, taub = _batch(m)
+        tstep = jax.jit(build_tile_step(m, output="tiles"))
+        ref = jax.jit(jax.vmap(lambda q, v, t: step(m, State(q=q, v=v, t=jnp.zeros(())), t)))
+        taut = _tiles(taub)
+        for it in range(40):
+            sr = ref(qb, vb, taub)
+            qt, vt = tstep(_tiles(qb), _tiles(vb), taut)
+            # tolerance set by the 1/cfm amplification in the Woodbury
+            # polish: both paths carry ~eps/cfm noise around the exact LCP
+            # solution, so they agree to ~1e-6, not to f64 roundoff
+            np.testing.assert_allclose(_untiles(qt), np.asarray(sr.q), atol=1e-7,
+                                       err_msg=f"q diverged at step {it}")
+            np.testing.assert_allclose(_untiles(vt), np.asarray(sr.v), atol=1e-5,
+                                       err_msg=f"v diverged at step {it}")
+            qb, vb = sr.q, sr.v
+
+    def test_bptt_gradient_matches_vmap_path(self):
+        """Gradient parity on envs whose LCPs CONVERGE along the horizon.
+        At stalled LCP solves (the iterative chain can cycle on
+        redundant-contact configurations; see the Dantzig oracle tests for
+        the fidelity reference) the IFT gradient is ill-posed and both paths
+        produce different — equally arbitrary — subgradients, so only
+        converged envs are comparable."""
+        m = _model()
+        qb, vb, taub = _batch(m, seed=3)
+        T = 10
+        taus = jnp.tile(taub[None], (T, 1, 1)) * 0.3
+
+        # per-env convergence mask along the reference trajectory
+        from diffdart_tpu.sim.constrained import prepare_constrained
+        from diffdart_tpu.ops.lcp_lowrank import _solve_impl
+        from diffdart_tpu.ops.lcp import _nat_residual
+
+        def env_residual(q, v, tau):
+            lcp, M, Minv, v_star, dt = prepare_constrained(
+                m, State(q=q, v=v, t=jnp.zeros(())), tau)
+            lam = _solve_impl(lcp.J, M, jnp.asarray(m.contact_cfm), lcp.b,
+                              lcp.lo, lcp.hi, lcp.mu, lcp.fidx,
+                              int(m.contact_iters), 2, None)
+            return _nat_residual(lam, lcp.A, lcp.b, lcp.lo, lcp.hi, lcp.mu, lcp.fidx)
+
+        res_fn = jax.jit(jax.vmap(env_residual))
+        stepv = jax.jit(jax.vmap(lambda q, v, t: step(m, State(q=q, v=v, t=jnp.zeros(())), t)))
+        conv = np.ones(B, bool)
+        qc, vc = qb, vb
+        for t in range(T):
+            conv &= np.asarray(res_fn(qc, vc, taus[t])) < 1e-8
+            s = stepv(qc, vc, taus[t])
+            qc, vc = s.q, s.v
+        assert conv.sum() >= B // 3, f"too few converged envs to test: {conv.sum()}/{B}"
+        w = jnp.asarray(conv, qb.dtype)
+
+        tstep = build_tile_step(m, output="tiles")
+
+        def loss_tile(taus):
+            qt, vt = _tiles(qb), _tiles(vb)
+
+            def body(c, tau):
+                qn, vn = tstep(c[0], c[1], _tiles(tau))
+                return (qn, vn), None
+
+            (qf, vf), _ = jax.lax.scan(body, (qt, vt), taus)
+            return jnp.mean(w * _untiles(qf)[:, 0] ** 2) + jnp.mean(w[:, None] * _untiles(vf) ** 2)
+
+        def loss_ref(taus):
+            def roll(q, v, taus_env):
+                def body(c, tau):
+                    s = step(m, State(q=c[0], v=c[1], t=jnp.zeros(())), tau)
+                    return (s.q, s.v), None
+
+                (qf, vf), _ = jax.lax.scan(body, (q, v), taus_env)
+                return qf, vf
+
+            qf, vf = jax.vmap(roll, in_axes=(0, 0, 1))(qb, vb, taus)
+            return jnp.mean(w * qf[:, 0] ** 2) + jnp.mean(w[:, None] * vf**2)
+
+        l_t, g_t = jax.jit(jax.value_and_grad(loss_tile))(taus)
+        l_r, g_r = jax.jit(jax.value_and_grad(loss_ref))(taus)
+        np.testing.assert_allclose(float(l_t), float(l_r), rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_r), rtol=2e-4, atol=2e-7)
+
+    def test_unsupported_model_raises(self):
+        from diffdart_tpu.models import cube_drop
+
+        with pytest.raises(TileStepUnsupported):
+            build_tile_step(cube_drop())  # FREE joint not in the tiled subset
+
+
+class TestPallasStepInterpret:
+    Bp = 1024  # one (8, 128) block
+
+    def _inputs(self, m, seed):
+        from diffdart_tpu.ops.pallas_step import to_tiles
+
+        rng = np.random.RandomState(seed)
+        q = jnp.asarray(np.tile(_init_q(m), (self.Bp, 1)) + 0.02 * rng.randn(self.Bp, m.nq))
+        v = jnp.asarray(0.2 * rng.randn(self.Bp, m.nv))
+        tau = jnp.asarray(0.5 * rng.randn(self.Bp, m.nv))
+        return to_tiles(q), to_tiles(v), to_tiles(tau)
+
+    def test_interpret_mode_matches_tilestep(self):
+        from diffdart_tpu.ops.pallas_step import build_pallas_step
+
+        m = _model()
+        qt, vt, taut = self._inputs(m, 1)
+        pstep = build_pallas_step(m, interpret=True)
+        # reference: tuple-output tile step (stacked outside jit — stacking
+        # inside jit is the concat-fusion trap this layout exists to avoid)
+        tstep = jax.jit(build_tile_step(m, output="tiles"))
+        qp, vp = jax.jit(pstep)(qt, vt, taut)
+        qr, vr = tstep(tuple(qt[i] for i in range(m.nq)),
+                       tuple(vt[i] for i in range(m.nv)),
+                       tuple(taut[i] for i in range(m.nv)))
+        np.testing.assert_allclose(np.asarray(qp), np.stack([np.asarray(x) for x in qr]), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(vp), np.stack([np.asarray(x) for x in vr]), atol=1e-7)
+
+    def test_interpret_mode_gradients(self):
+        from diffdart_tpu.ops.pallas_step import build_pallas_step
+
+        m = _model()
+        qt, vt, taut = self._inputs(m, 2)
+        pstep = build_pallas_step(m, interpret=True)
+        tstep = build_tile_step(m, output="tiles")
+
+        def lp(tau):
+            qn, vn = pstep(qt, vt, tau)
+            return jnp.mean(qn**2) + jnp.mean(vn**2)
+
+        def lt(tau):
+            qn, vn = tstep(tuple(qt[i] for i in range(m.nq)),
+                           tuple(vt[i] for i in range(m.nv)),
+                           tuple(tau[i] for i in range(m.nv)))
+            return (sum(jnp.sum(x**2) for x in qn) / (m.nq * qn[0].size)
+                    + sum(jnp.sum(x**2) for x in vn) / (m.nv * vn[0].size))
+
+        gp = jax.jit(jax.grad(lp))(taut)
+        gt = jax.jit(jax.grad(lt))(taut)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gt), rtol=1e-6, atol=1e-10)
