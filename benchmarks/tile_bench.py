@@ -66,35 +66,6 @@ def main():
     results["vmap_grad"] = B * T / t
     print(f"vmap     fwd+grad {t*1e3:8.2f} ms  -> {B*T/t:,.0f} env-steps/s", flush=True)
 
-    # ---- XLA tile step (tuple-of-tiles carries: no concat-rooted fusions) ----
-    tstep = build_tile_step(m, output="tiles")
-    q_tt = tuple(qt[i] for i in range(m.nq))
-    v_tt = tuple(vt[i] for i in range(m.nv))
-
-    def roll_tile(q_tt, v_tt, taus_t):
-        def body(c, tau):
-            qn, vn = tstep(c[0], c[1], tuple(tau[i] for i in range(m.nv)))
-            return (qn, vn), None
-        (qf, vf), _ = jax.lax.scan(body, (q_tt, v_tt), taus_t)
-        return qf, vf
-
-    roll_tile_j = jax.jit(roll_tile)
-    t = timeit(roll_tile_j, q_tt, v_tt, taus_t)
-    results["tile_fwd"] = B * T / t
-    print(f"tileXLA  fwd      {t*1e3:8.2f} ms  -> {B*T/t:,.0f} env-steps/s", flush=True)
-
-    def loss_tile(taus_t):
-        def body(c, tau):
-            qn, vn = jax.checkpoint(tstep)(c[0], c[1], tuple(tau[i] for i in range(m.nv)))
-            return (qn, vn), None
-        (qf, vf), _ = jax.lax.scan(body, (q_tt, v_tt), taus_t)
-        return jnp.mean(qf[1] ** 2) + 1e-4 * jnp.mean(taus_t**2)
-
-    g_tile = jax.jit(jax.grad(loss_tile))
-    t = timeit(g_tile, taus_t)
-    results["tile_grad"] = B * T / t
-    print(f"tileXLA  fwd+grad {t*1e3:8.2f} ms  -> {B*T/t:,.0f} env-steps/s", flush=True)
-
     # ---- Pallas tile step (shared builders => shared compile cache) ----
     try:
         from diffdart_tpu.ops.pallas_step import make_bench_fns
@@ -111,6 +82,36 @@ def main():
         print(f"pallas   fwd+grad {t*1e3:8.2f} ms  -> {B*T/t:,.0f} env-steps/s", flush=True)
     except Exception as e:  # noqa: BLE001
         print(f"pallas   FAILED: {type(e).__name__}: {str(e)[:300]}", flush=True)
+
+    if os.environ.get("TILE_BENCH_XLA") == "1":
+        # ---- XLA tile step (tuple-of-tiles carries: no concat-rooted fusions) ----
+        tstep = build_tile_step(m, output="tiles")
+        q_tt = tuple(qt[i] for i in range(m.nq))
+        v_tt = tuple(vt[i] for i in range(m.nv))
+
+        def roll_tile(q_tt, v_tt, taus_t):
+            def body(c, tau):
+                qn, vn = tstep(c[0], c[1], tuple(tau[i] for i in range(m.nv)))
+                return (qn, vn), None
+            (qf, vf), _ = jax.lax.scan(body, (q_tt, v_tt), taus_t)
+            return qf, vf
+
+        roll_tile_j = jax.jit(roll_tile)
+        t = timeit(roll_tile_j, q_tt, v_tt, taus_t)
+        results["tile_fwd"] = B * T / t
+        print(f"tileXLA  fwd      {t*1e3:8.2f} ms  -> {B*T/t:,.0f} env-steps/s", flush=True)
+
+        def loss_tile(taus_t):
+            def body(c, tau):
+                qn, vn = jax.checkpoint(tstep)(c[0], c[1], tuple(tau[i] for i in range(m.nv)))
+                return (qn, vn), None
+            (qf, vf), _ = jax.lax.scan(body, (q_tt, v_tt), taus_t)
+            return jnp.mean(qf[1] ** 2) + 1e-4 * jnp.mean(taus_t**2)
+
+        g_tile = jax.jit(jax.grad(loss_tile))
+        t = timeit(g_tile, taus_t)
+        results["tile_grad"] = B * T / t
+        print(f"tileXLA  fwd+grad {t*1e3:8.2f} ms  -> {B*T/t:,.0f} env-steps/s", flush=True)
 
     print({k: f"{v:,.0f}" for k, v in results.items()}, flush=True)
 

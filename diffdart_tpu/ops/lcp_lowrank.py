@@ -207,7 +207,15 @@ def _lowrank_jvp_tangent(J, M, cfm, b, lo, hi, mu, fidx, lam, dJ, dM, dcfm, db, 
 
     x = _solve_G_lowrank(-F * rho, J, L_M, cfm, free, fr_bound, s, mu, fidx)
     dlam = w + x + _apply_B(x, fr_bound, s, mu, fidx)
-    return dlam
+    # NaN hygiene: a degenerate active set (singular S at a stalled LCP
+    # iterate) makes the IFT solve blow up and one bad env poisons the whole
+    # batch gradient. The guard mask must be PRIMAL-only — this rule is
+    # linear in the tangents and gets jax.linear_transpose'd for reverse
+    # mode — so probe the same solve with a primal rhs and zero the tangent
+    # where the probe misbehaves (zero subgradient instead of garbage).
+    probe = _solve_G_lowrank(-F, J, L_M, cfm, free, fr_bound, s, mu, fidx)
+    ok = jnp.all(jnp.isfinite(probe)) & (jnp.max(jnp.abs(probe)) < 1e12)
+    return jnp.where(ok, dlam, 0.0)
 
 
 def _mat(t, like):

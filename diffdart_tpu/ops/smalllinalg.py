@@ -62,20 +62,58 @@ def spd_solve_small(A, b):
     return cho_solve_small(cholesky_small(A), b)
 
 
+def _safe_piv(piv):
+    """TPU-safe pivot handling for the no-pivot GE below: exactly-singular
+    systems (degenerate active sets; TPU flushes subnormal fill-in to zero)
+    would emit inf factors and then NaN (0*inf) even against a ZERO rhs —
+    poisoning whole-batch gradients through the untaken branches of
+    downstream `where` guards. Dead pivots therefore contribute NOTHING
+    (factor/solution zeroed) instead of being clamped-and-divided, so no
+    inf is ever created; the garbage-but-finite solution is discarded by
+    the callers' probe guards."""
+    dead = jnp.abs(piv) <= 1e-20
+    return jnp.where(dead, 1.0, piv), dead
+
+
 def solve_nopivot_small(A, b):
     """Solve general (diagonally regularized) A x = b by Gaussian elimination
     WITHOUT pivoting — valid for the near-SPD active-set systems here whose
-    diagonal is bounded below by the CFM regularizer. b: (n,) or (n, k)."""
+    diagonal is bounded below by the CFM regularizer. b: (n,) or (n, k).
+
+    f32 (the TPU path) uses dead-pivot zeroing (_safe_piv): singular systems
+    yield finite garbage, never inf/NaN. f64 (the CPU verification path)
+    keeps the plain algorithm — the extra selects inflate XLA:CPU compile
+    time ~20x, and f64 never hits the subnormal-flush failure in practice.
+    """
+    if A.dtype == jnp.float64:
+        n = A.shape[-1]
+        for k in range(n - 1):
+            piv = A[k, k]
+            factor = A[k + 1 :, k] / piv
+            A = A.at[k + 1 :, k:].add(-factor[:, None] * A[k, k:][None, :])
+            if b.ndim > 1:
+                b = b.at[k + 1 :].add(-factor[:, None] * b[k][None, :])
+            else:
+                b = b.at[k + 1 :].add(-factor * b[k])
+        return tri_solve_upper(jnp.triu(A), b)
     n = A.shape[-1]
     for k in range(n - 1):
-        piv = A[k, k]
-        factor = A[k + 1 :, k] / piv
+        piv, dead = _safe_piv(A[k, k])
+        factor = jnp.where(dead, 0.0, A[k + 1 :, k] / piv)
         A = A.at[k + 1 :, k:].add(-factor[:, None] * A[k, k:][None, :])
         if b.ndim > 1:
             b = b.at[k + 1 :].add(-factor[:, None] * b[k][None, :])
         else:
             b = b.at[k + 1 :].add(-factor * b[k])
-    return tri_solve_upper(jnp.triu(A), b)
+    xs = [None] * n
+    for i in range(n - 1, -1, -1):
+        acc = b[i]
+        if i + 1 < n:
+            stacked = jnp.stack(xs[i + 1 :])
+            acc = acc - (A[i, i + 1 :] @ stacked if b.ndim == 1 else jnp.tensordot(A[i, i + 1 :], stacked, axes=1))
+        piv, dead = _safe_piv(A[i, i])
+        xs[i] = jnp.where(dead, 0.0, acc / piv)
+    return jnp.stack(xs)
 
 
 def inv_small_spd(A):

@@ -259,6 +259,25 @@ def solve_spd(M, b):
     return chol_solve(chol_factor(M), b)
 
 
+def safe_div(num, den):
+    """num/den with dead denominators (|den| <= 1e-20; TPU flushes subnormal
+    fill-in to zero) contributing ZERO instead of inf — singular systems
+    yield finite garbage that callers' probe guards discard, never NaN
+    through untaken where-branches. f64 (the CPU verification path) keeps a
+    plain division: it never hits the subnormal flush, and the extra selects
+    inflate XLA:CPU compile time ~20x (mirrors
+    ops/smalllinalg.solve_nopivot_small)."""
+    if is_zero(num):
+        return None
+    if is_const(den):
+        return div(num, den) if abs(float(den)) > 1e-20 else None
+    if den.dtype == jnp.float64:
+        return div(num, den)
+    dead = jnp.abs(den) <= 1e-20
+    num_t = float(num) if is_const(num) else num
+    return jnp.where(dead, 0.0, num_t / jnp.where(dead, 1.0, den))
+
+
 def solve_ge(M, b):
     """Solve M x = b by Gaussian elimination WITHOUT pivoting, unrolled at
     trace time. Valid for diagonally-regularized near-SPD systems (the
@@ -272,7 +291,7 @@ def solve_ge(M, b):
         for i in range(k + 1, n):
             if is_zero(A[i][k]):
                 continue
-            f = div(A[i][k], A[k][k])
+            f = safe_div(A[i][k], A[k][k])
             for j in range(k + 1, n):
                 A[i][j] = sub(A[i][j], mul(f, A[k][j]))
             x[i] = sub(x[i], mul(f, x[k]))
@@ -281,7 +300,7 @@ def solve_ge(M, b):
         s = x[i]
         for j in range(i + 1, n):
             s = sub(s, mul(A[i][j], out[j]))
-        out[i] = div(s, A[i][i]) if s is not None else None
+        out[i] = safe_div(s, A[i][i])
     return out
 
 

@@ -137,3 +137,33 @@ class TestGradients:
             d = jnp.zeros(6).at[i].set(eps)
             fd = (f(mu + d) - f(mu - d)) / (2 * eps)
             np.testing.assert_allclose(float(g[i]), float(fd), rtol=1e-4, atol=1e-7)
+
+
+class TestDegenerateGradientGuard:
+    def test_redundant_rows_give_finite_gradients(self):
+        """Rank-deficient constraint systems (duplicate contact rows — e.g.
+        two narrowphase slots landing on the same point) make the active-set
+        KKT solve singular; the IFT tangent rule must return a finite (zero)
+        subgradient for such envs rather than poisoning the batch with
+        NaN/Inf (lcp_lowrank._lowrank_jvp_tangent primal-probe guard)."""
+        from diffdart_tpu.ops.lcp_lowrank import boxed_lcp_lowrank
+
+        nv, D = 3, 6
+        key = jax.random.PRNGKey(7)
+        J_half = jax.random.normal(key, (D // 2, nv))
+        J = jnp.concatenate([J_half, J_half])  # exactly duplicated rows
+        M = jnp.eye(nv) * 2.0
+        b = jnp.array([-1.0, -0.5, 0.3, -1.0, -0.5, 0.3])
+        lo = jnp.zeros(D)
+        hi = jnp.full(D, jnp.inf)
+        mu = jnp.zeros(D)
+        fidx = jnp.full(D, -1, jnp.int32)
+        cfm = jnp.asarray(1e-9, J.dtype)  # tiny: free subsystem numerically singular
+
+        def f(b_):
+            lam = boxed_lcp_lowrank(J, M, cfm, b_, lo, hi, mu, fidx, 8, 2, None)
+            return jnp.sum(lam)
+
+        val, g = jax.value_and_grad(f)(b)
+        assert bool(jnp.all(jnp.isfinite(g))), g
+        assert bool(jnp.isfinite(val))
