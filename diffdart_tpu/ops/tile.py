@@ -304,6 +304,70 @@ def solve_ge(M, b):
     return out
 
 
+_EPS = 1e-8  # mirrors math/lie.py small-angle threshold
+
+
+def quat_normalize_t(q):
+    """q: list of 4 tiles -> normalized (mirrors lie.quat_normalize)."""
+    n2 = dot(q, q)
+    inv = rsqrt(n2)
+    return [mul(x, inv) for x in q]
+
+
+def quat_to_mat_t(q):
+    """Unit quaternion (list of 4 tiles) -> 3x3 nested-list rotation
+    (mirrors lie.quat_to_mat)."""
+    w, x, y, z = q
+    xx, yy, zz = mul(x, x), mul(y, y), mul(z, z)
+    xy, xz, yz = mul(x, y), mul(x, z), mul(y, z)
+    wx, wy, wz = mul(w, x), mul(w, y), mul(w, z)
+    two = 2.0
+    return [
+        [sub(1.0, mul(two, add(yy, zz))), mul(two, sub(xy, wz)), mul(two, add(xz, wy))],
+        [mul(two, add(xy, wz)), sub(1.0, mul(two, add(xx, zz))), mul(two, sub(yz, wx))],
+        [mul(two, sub(xz, wy)), mul(two, add(yz, wx)), sub(1.0, mul(two, add(xx, yy)))],
+    ]
+
+
+def _cos_sqrt_t(t2):
+    """cos(sqrt(t2)) with Taylor-safe gradient at 0 (lie._cos_sqrt)."""
+    t2m = 0.0 + t2 if not is_const(t2) else jnp.asarray(float(t2))
+    small = t2m < _EPS
+    safe = jnp.where(small, jnp.ones_like(t2m), t2m)
+    return jnp.where(small, 1.0 - t2m / 2.0 + t2m * t2m / 24.0, jnp.cos(jnp.sqrt(safe)))
+
+
+def _sinc_t2_t(t2):
+    """sin(sqrt(t2))/sqrt(t2), Taylor-safe (lie._sinc_t2)."""
+    t2m = 0.0 + t2 if not is_const(t2) else jnp.asarray(float(t2))
+    small = t2m < _EPS
+    safe = jnp.sqrt(jnp.where(small, jnp.ones_like(t2m), t2m))
+    return jnp.where(small, 1.0 - t2m / 6.0 + t2m * t2m / 120.0, jnp.sin(safe) / safe)
+
+
+def quat_exp_t(v):
+    """R^3 (list of 3 tiles) -> unit quaternion, half-angle convention
+    (mirrors lie.quat_exp)."""
+    h2 = mul(0.25, dot(v, v))
+    if h2 is None:
+        return [1.0, None, None, None]
+    w = _cos_sqrt_t(h2)
+    s = mul(0.5, _sinc_t2_t(h2))
+    return [w] + [mul(s, x) for x in v]
+
+
+def quat_mul_t(a, b):
+    """Hamilton product of two quaternion tile lists (lie.quat_mul)."""
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return [
+        sub(sub(mul(aw, bw), mul(ax, bx)), add(mul(ay, by), mul(az, bz))),
+        sub(add(add(mul(aw, bx), mul(ax, bw)), mul(ay, bz)), mul(az, by)),
+        add(sub(mul(aw, by), mul(ax, bz)), add(mul(ay, bw), mul(az, bx))),
+        add(add(mul(aw, bz), mul(ax, by)), sub(mul(az, bw), mul(ay, bx))),
+    ]
+
+
 def spatial_transform_motion(R, p, w, v):
     """World-origin Plucker coordinates of a child-frame motion vector
     (w, v): w_w = R w; v_w = R v + p x (R w)."""

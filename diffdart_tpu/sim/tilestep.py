@@ -11,12 +11,16 @@ constant plane normals) fold away, and the whole step becomes one straight
 chain of full-tile VPU ops — runnable as plain XLA or as the body of a
 single Pallas kernel (ops/pallas_step.py).
 
-Supported (v1): REVOLUTE / PRISMATIC / PLANAR / WELD joints; capsule-plane &
-sphere-plane contacts; joint limits; the lowrank boxed-LCP with Woodbury
-polish. Models outside this subset raise TileStepUnsupported — callers fall
-back to the vmap path. Gradients flow wrt (q, v, tau) only: model parameters
-are baked as trace-time constants (use the vmap path for parameter
-Jacobians / WithRespectTo).
+Supported (v2): REVOLUTE / PRISMATIC / PLANAR / WELD / FREE joints
+(quaternion FK + geometric integration); capsule-plane, sphere-plane and
+box-plane (8-corner) contacts; joint limits on scalar dofs; the lowrank
+boxed-LCP with Woodbury polish. Models outside this subset raise
+TileStepUnsupported — callers fall back to the vmap path. Gradients flow
+wrt (q, v, tau) only: model parameters are baked as trace-time constants
+(use the vmap path for parameter Jacobians / WithRespectTo). Large-D
+models (e.g. the 30-DOF humanoid, D~130 LCP rows) stay on the vmap path:
+the tiled LCP's O(D^2) trace-time assembly is sized for locomotion-scale
+D<~60.
 
 Gradient semantics match ops/lcp_lowrank.py: the LCP warm start + all but
 the final polish pass sit behind stop_gradient, and the final pass solves
@@ -125,21 +129,44 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
     cfm = float(model.contact_cfm)
     erp = float(model.baumgarte_erp)
 
-    ok_joints = {JointType.REVOLUTE, JointType.PRISMATIC, JointType.PLANAR, JointType.WELD}
+    ok_joints = {
+        JointType.REVOLUTE, JointType.PRISMATIC, JointType.PLANAR,
+        JointType.WELD, JointType.FREE,
+    }
     for j in jt:
         if j not in ok_joints:
             raise TileStepUnsupported(f"tile step: joint type {j} not supported yet")
     if model.servo_dofs or model.friction_dofs or model.ball_pairs or model.weld_pairs:
         raise TileStepUnsupported("tile step: servo/joint-friction/bilateral rows not supported yet")
+    if int(getattr(model, "contact_budget", 0) or 0):
+        raise TileStepUnsupported("tile step: contact-budget top-K selection not supported yet")
+
+    # v-index -> q-index map (identity for scalar joints; None for quaternion
+    # dofs, where springs/limits are unsupported in the tiled subset)
+    dof_qidx = [None] * nv
+    for i in range(nb):
+        if jt[i] == JointType.FREE:
+            continue
+        nvj = {JointType.WELD: 0, JointType.REVOLUTE: 1, JointType.PRISMATIC: 1, JointType.PLANAR: 3}[jt[i]]
+        for k in range(nvj):
+            dof_qidx[v_off[i] + k] = q_off[i] + k
+    for i in range(nv):
+        if dof_qidx[i] is None and float(spring[i]) != 0.0:
+            raise TileStepUnsupported("tile step: joint springs on quaternion dofs not supported")
+    if model.enable_joint_limits:
+        for d in model.limited_dofs:
+            if dof_qidx[int(d)] is None:
+                raise TileStepUnsupported("tile step: joint limits on quaternion dofs not supported")
 
     # ---- static collision plan: (body, geom consts) per pair, plane side const
     plan = []
     gt = model.geom_type
+    _vs_plane = (GeomType.CAPSULE, GeomType.SPHERE, GeomType.BOX)
     for (a, b) in model.col_pairs:
         ta, tb = gt[a], gt[b]
-        if tb == GeomType.PLANE and ta in (GeomType.CAPSULE, GeomType.SPHERE):
+        if tb == GeomType.PLANE and ta in _vs_plane:
             g, pl = a, b
-        elif ta == GeomType.PLANE and tb in (GeomType.CAPSULE, GeomType.SPHERE):
+        elif ta == GeomType.PLANE and tb in _vs_plane:
             g, pl = b, a
         else:
             raise TileStepUnsupported(f"tile step: pair types ({ta},{tb}) not supported yet")
@@ -162,9 +189,10 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
                 restitution=rest,
             )
         )
-    # slots per pair: capsule 2, sphere 1 — must match collide._DISPATCH so
-    # row layout agrees with the vmap path
-    slots = [2 if p["gtype"] == GeomType.CAPSULE else 1 for p in plan]
+    # slots per pair: box 8 (all corners), capsule 2, sphere 1 — must match
+    # collide._DISPATCH so row layout agrees with the vmap path
+    _slot_table = {GeomType.BOX: 8, GeomType.CAPSULE: 2, GeomType.SPHERE: 1}
+    slots = [_slot_table[p["gtype"]] for p in plan]
     nc = sum(slots)
     lim = tuple(int(d) for d in model.limited_dofs) if model.enable_joint_limits else ()
     nlim = len(lim)
@@ -202,6 +230,9 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
                     T.vscale([float(a) for a in axis[i]], q[o]),
                     T.vscale([float(a) for a in axis2[i]], q[o + 1]),
                 )
+            elif jt[i] == JointType.FREE:
+                Rj = T.quat_to_mat_t(T.quat_normalize_t([q[o], q[o + 1], q[o + 2], q[o + 3]]))
+                pj = [q[o + 4], q[o + 5], q[o + 6]]
             else:  # WELD
                 Rj = T.eye3()
                 pj = [None, None, None]
@@ -230,6 +261,10 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
                 ra = T.matTvec3(Rj, [float(a) for a in axis[i]])
                 rb = T.matTvec3(Rj, [float(a) for a in axis2[i]])
                 rows = [([None] * 3, ra), ([None] * 3, rb), ([float(x) or None for x in n_ax], [None] * 3)]
+            elif jt[i] == JointType.FREE:
+                # S = I6 in the child frame: 3 angular then 3 linear unit rows
+                rows = [([1.0 if a == k else None for a in range(3)], [None] * 3) for k in range(3)]
+                rows += [([None] * 3, [1.0 if a == k else None for a in range(3)]) for k in range(3)]
             else:
                 rows = []
             for k, (w_l, v_l) in enumerate(rows):
@@ -329,8 +364,9 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
         for i in range(nv):
             f_j = T.mul(-float(damping[i]), v[i])
             if float(spring[i]):
-                # scalar joints only in this subset: tangent == q
-                f_j = T.sub(f_j, T.mul(float(spring[i]), T.add(T.sub(q[i], float(q_rest[i])), T.mul(dt, v[i]))))
+                # scalar-joint tangent == its q entry (dof_qidx maps v->q
+                # indices past quaternion joints)
+                f_j = T.sub(f_j, T.mul(float(spring[i]), T.add(T.sub(q[dof_qidx[i]], float(q_rest[i])), T.mul(dt, v[i]))))
             rhs.append(T.add(tau[i], T.sub(f_j, C[i])))
         # Minv columns + v_star (one factorization, nv substitutions)
         L_M = T.chol_factor(M)
@@ -376,6 +412,25 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
             )
             n_c = [float(x) for x in pp["n"]]
             p_pl = [float(x) for x in pp["p_pl"]]
+            if pp["gtype"] == GeomType.BOX:
+                # box-plane: all 8 corners (narrowphase.box_plane parity):
+                # depth = -(c - pb).n, pos = c + 0.5 depth n
+                half = [float(x) for x in pp["size"]]
+                for sx in (-1.0, 1.0):
+                    for sy in (-1.0, 1.0):
+                        for sz in (-1.0, 1.0):
+                            loc = [half[0] * sx, half[1] * sy, half[2] * sz]
+                            cpt = T.vadd(T.matvec3(Rg, loc), pg)
+                            depth = T.neg(T.dot(T.vsub(cpt, p_pl), n_c))
+                            pos = T.vadd(cpt, T.vscale(n_c, T.mul(0.5, depth)))
+                            con_pos.append(pos)
+                            con_depth.append(depth)
+                            con_valid.append(T.materialize(depth, zero_like) > 0)
+                            con_n.append(n_c)
+                            con_body.append(b)
+                            con_mu.append(pp["friction"])
+                            con_rest.append(pp["restitution"])
+                continue
             r_g = float(pp["size"][0])
             if pp["gtype"] == GeomType.CAPSULE:
                 hl = float(pp["size"][1])
@@ -435,17 +490,18 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
             fidx[2 * nc + c] = c
         for li, dof in enumerate(lim):
             lo_c, hi_c = float(q_lo[dof]), float(q_hi[dof])
+            qd = q[dof_qidx[dof]]
             # lower limit row
-            viol_lo = T.sub(lo_c, q[dof])
-            pred_lo = T.sub(lo_c, T.add(q[dof], T.mul(dt, v[dof])))
+            viol_lo = T.sub(lo_c, qd)
+            pred_lo = T.sub(lo_c, T.add(qd, T.mul(dt, v[dof])))
             act_lo = (T.materialize(viol_lo, zero_like) > 0) | (T.materialize(pred_lo, zero_like) > 0)
             t_lo = T.minimum(T.mul(erp / dt, T.maximum(viol_lo, None)), 2.0)
             J_rows[3 * nc + li] = {dof: 1.0}
             b_vec[3 * nc + li] = T.sub(v_star[dof], t_lo)
             valid[3 * nc + li] = act_lo
             # upper limit row
-            viol_hi = T.sub(q[dof], hi_c)
-            pred_hi = T.sub(T.add(q[dof], T.mul(dt, v[dof])), hi_c)
+            viol_hi = T.sub(qd, hi_c)
+            pred_hi = T.sub(T.add(qd, T.mul(dt, v[dof])), hi_c)
             act_hi = (T.materialize(viol_hi, zero_like) > 0) | (T.materialize(pred_hi, zero_like) > 0)
             t_hi = T.minimum(T.mul(erp / dt, T.maximum(viol_hi, None)), 2.0)
             J_rows[3 * nc + nlim + li] = {dof: -1.0}
@@ -467,8 +523,27 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
         return q_new, v_new
 
     def _integrate(q, v_new):
-        # scalar joints only in the supported subset: q' = q + dt v
-        return [T.add(q[i], T.mul(dt, v_new[i])) for i in range(nq)]
+        """Geometric position integration (joints.integrate_joint parity):
+        scalar joints q' = q + dt v; FREE joints quaternion-exponential
+        update with child-frame linear velocity."""
+        _scalar_nv = {JointType.WELD: 0, JointType.REVOLUTE: 1, JointType.PRISMATIC: 1, JointType.PLANAR: 3}
+        out = list(q)
+        for i in range(nb):
+            o, vo = q_off[i], v_off[i]
+            if jt[i] == JointType.FREE:
+                quat = T.quat_normalize_t([q[o + k] for k in range(4)])
+                w_dt = [T.mul(dt, v_new[vo + k]) for k in range(3)]
+                new_quat = T.quat_normalize_t(T.quat_mul_t(quat, T.quat_exp_t(w_dt)))
+                Rq = T.quat_to_mat_t(quat)
+                dp = T.vscale(T.matvec3(Rq, [v_new[vo + 3 + k] for k in range(3)]), dt)
+                for k in range(4):
+                    out[o + k] = new_quat[k]
+                for k in range(3):
+                    out[o + 4 + k] = T.add(q[o + 4 + k], dp[k])
+            else:
+                for k in range(_scalar_nv[jt[i]]):
+                    out[o + k] = T.add(q[o + k], T.mul(dt, v_new[vo + k]))
+        return out
 
     def step_tiles(q_t, v_t, tau_t):
         qn, vn = step(q_t, v_t, tau_t)

@@ -147,11 +147,42 @@ class TestTileStepParity:
         np.testing.assert_allclose(float(l_t), float(l_r), rtol=1e-9)
         np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_r), rtol=2e-4, atol=2e-7)
 
-    def test_unsupported_model_raises(self):
+    def test_free_joint_cube_matches_vmap_step(self):
+        """FREE-joint (quaternion FK + geometric integration) and 8-corner
+        box-plane contacts: tumbling-cube per-step parity with the vmap
+        path (BASELINE config #2 on the fused path)."""
+        from diffdart_tpu.math.lie import quat_normalize
         from diffdart_tpu.models import cube_drop
 
+        m = cube_drop(dt=2e-3, half=0.1, friction=0.5, restitution=0.0)
+        rng = np.random.RandomState(0)
+        qs = []
+        for _ in range(B):
+            quat = quat_normalize(jnp.asarray(rng.randn(4)))
+            pos = np.array([0.1 * rng.randn(), 0.1 * rng.randn(), 0.12 + 0.05 * rng.randn()])
+            qs.append(np.concatenate([np.asarray(quat), pos]))
+        qb = jnp.asarray(np.stack(qs))
+        vb = jnp.asarray(0.5 * rng.randn(B, m.nv))
+        taub = jnp.asarray(0.1 * rng.randn(B, m.nv))
+        tstep = jax.jit(build_tile_step(m, output="tiles"))
+        ref = jax.jit(jax.vmap(lambda q, v, t: step(m, State(q=q, v=v, t=jnp.zeros(())), t)))
+        for it in range(15):
+            sr = ref(qb, vb, taub)
+            qt, vt = tstep(_tiles(qb), _tiles(vb), _tiles(taub))
+            np.testing.assert_allclose(_untiles(qt), np.asarray(sr.q), atol=1e-8,
+                                       err_msg=f"q diverged at step {it}")
+            np.testing.assert_allclose(_untiles(vt), np.asarray(sr.v), atol=1e-5,
+                                       err_msg=f"v diverged at step {it}")
+            qb, vb = sr.q, sr.v
+
+    def test_unsupported_model_raises(self):
+        from diffdart_tpu.dynamics.model import GeomType, JointType, ModelBuilder
+
+        b = ModelBuilder(dt=1e-3)
+        body = b.add_body(parent=-1, jtype=JointType.BALL, mass=1.0)
+        b.add_geom(body, GeomType.SPHERE, size=(0.1, 0, 0))
         with pytest.raises(TileStepUnsupported):
-            build_tile_step(cube_drop())  # FREE joint not in the tiled subset
+            build_tile_step(b.finalize())  # BALL joint not in the tiled subset
 
 
 class TestPallasStepInterpret:
