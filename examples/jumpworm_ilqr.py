@@ -10,6 +10,13 @@ import sys
 
 sys.path.insert(0, ".")
 import jax
+
+# contact-rich trajectory optimization wants f64: iLQR's linearizations
+# through the LCP active set are conditioning-sensitive, and f32 noise stalls the optimizer
+# (the TPU story is the BATCHED fused path - see bench.py; this demo is the
+# reference-style single-trajectory workload)
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 
 from diffdart_tpu.dynamics.model import State
