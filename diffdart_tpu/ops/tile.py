@@ -107,18 +107,21 @@ def sqrt(a):
 
 
 def maximum(a, b):
-    if is_const(a) and is_const(b):
-        return max(float(a), float(b))
+    # None (structural zero) must be coerced BEFORE the const-const fold:
+    # is_const(None) is True but float(None) raises — reachable when a
+    # depth/violation expression constant-folds (e.g. geom on a static body).
     aa = 0.0 if a is None else a
     bb = 0.0 if b is None else b
+    if is_const(aa) and is_const(bb):
+        return max(float(aa), float(bb))
     return jnp.maximum(aa, bb)
 
 
 def minimum(a, b):
-    if is_const(a) and is_const(b):
-        return min(float(a), float(b))
     aa = 0.0 if a is None else a
     bb = 0.0 if b is None else b
+    if is_const(aa) and is_const(bb):
+        return min(float(aa), float(bb))
     return jnp.minimum(aa, bb)
 
 

@@ -52,10 +52,7 @@ def _sg(x):
     return jax.lax.stop_gradient(x)
 
 
-_BARRIERS = True  # build_pallas_step disables these inside the Mosaic kernel
-
-
-def _barrier(xs):
+def _barrier(xs, enabled: bool = True):
     """Materialization fence over a list of tile elements.
 
     Highly-reused expression chains (Minv, each LCP sweep's lam) otherwise
@@ -65,8 +62,13 @@ def _barrier(xs):
     protection is the tuple-of-tiles output format (no concatenate-rooted
     fusions — their elemental emitter re-evaluates operand chains per output
     element; observed 13 s per jnp.stack of a 2k-op chain on CPU).
-    Constants/Nones pass through untouched."""
-    if not _BARRIERS:
+    Constants/Nones pass through untouched.
+
+    `enabled=False` (build_pallas_step inside the Mosaic kernel) makes this
+    a no-op; the flag is threaded through closures, never module state, so
+    interleaved/nested traces of barrier and no-barrier builds can't
+    cross-contaminate."""
+    if not enabled:
         return list(xs)
     live_idx = [i for i, x in enumerate(xs) if not T.is_const(x)]
     if not live_idx:
@@ -205,8 +207,6 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
     anc_dofs = [tuple(int(j) for j in np.nonzero(anc[b])[0]) for b in range(nb)]
 
     def step(q_st, v_st, tau_st):
-        global _BARRIERS
-        _BARRIERS = barriers
         q = [q_st[i] for i in range(nq)]
         v = [v_st[i] for i in range(nv)]
         tau = [tau_st[i] for i in range(nv)]
@@ -378,14 +378,14 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
                 Minv[i][k] = col[i]
         # fence: Minv feeds every LCP sweep; without this XLA fusion clones
         # the whole Cholesky chain into each consumer (see _barrier)
-        flat = _barrier([Minv[i][k] for i in range(nv) for k in range(nv)])
+        flat = _barrier([Minv[i][k] for i in range(nv) for k in range(nv)], barriers)
         for i in range(nv):
             for k in range(nv):
                 Minv[i][k] = flat[i * nv + k]
         v_star = [
             T.add(v[i], T.mul(dt, T.dot(Minv[i], rhs))) for i in range(nv)
         ]
-        v_star = _barrier(v_star)
+        v_star = _barrier(v_star, barriers)
 
         if D == 0:
             v_new = v_star
@@ -510,7 +510,7 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
 
         lam = _tile_lcp(
             J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters,
-            polish_passes, zero_like,
+            polish_passes, zero_like, barriers,
         )
 
         # v_new = v_star + Minv J^T lam
@@ -573,23 +573,28 @@ def _sparse_dot(row: dict, vec):
     return acc
 
 
-def _tile_lcp(J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters, passes, zero_like):
+def _tile_lcp(J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters, passes, zero_like, barriers=True):
     """Boxed LCP over tile rows: phased-Jacobi warm start + active-set
     Woodbury polish. Row semantics match ops/lcp.py for the supported row
     types (contact normals lo=0/hi=inf, friction rows moving bounds, limit
     rows lo=0/hi=inf); invalid rows are pinned at 0.
 
     Gradients: everything up to the final polish pass is stop_gradient'ed;
-    AD through the final pass's KKT solve is the IFT gradient."""
+    AD through the final pass's KKT solve is the IFT gradient. The gradient
+    attachment runs even at passes=0 (lcp_polish=False) so the fused path
+    never silently returns zero contact gradients."""
     is_fr = [fidx[i] >= 0 for i in range(D)]
+
+    def fence(xs):
+        return _barrier(xs, barriers)
 
     # fence the assembly products: every sweep consumes J rows / rhs, and
     # XLA fusion otherwise duplicates their upstream chains per sweep
     for i in range(D):
         keys = list(J_rows[i].keys())
-        vals = _barrier([J_rows[i][k] for k in keys])
+        vals = fence([J_rows[i][k] for k in keys])
         J_rows[i] = dict(zip(keys, vals))
-    b_vec = _barrier(b_vec)
+    b_vec = fence(b_vec)
 
     # W = Minv J^T : (nv, D) columns, sparse over J rows
     def w_col(i):
@@ -654,7 +659,7 @@ def _tile_lcp(J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters, pa
             c = T.maximum(cand, None)  # lo = 0, hi = inf
         return T.where(valid[i], c, None)
 
-    scale = _barrier(scale)
+    scale = fence(scale)
 
     # ---- phased Jacobi sweeps (warm start; gradients cut below) ----
     lam = [None] * D
@@ -667,7 +672,7 @@ def _tile_lcp(J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters, pa
                     continue
                 cand = T.sub(lam[i], T.mul(scale[i], T.add(r[i], b_vec[i])))
                 new[i] = clip_row(i, cand, lam)
-            lam = _barrier(new)
+            lam = fence(new)
     lam = [_sg(x) for x in lam]
 
     # ---- active-set polish (Woodbury); final pass carries gradients ----
@@ -749,9 +754,6 @@ def _tile_lcp(J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters, pa
         # project onto moving box
         return [clip_row(i, lam_new[i], lam_new) for i in range(D)]
 
-    if passes == 0:
-        return [T.materialize(x, zero_like) for x in lam]
-
     def nat_residual(lam_m):
         """Natural-map residual per env tile (ops/lcp.py:_nat_residual)."""
         w = matvec(lam_m)
@@ -773,10 +775,10 @@ def _tile_lcp(J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters, pa
         finite = cand[0] == cand[0]
         for x in cand:
             finite = finite & jnp.isfinite(x)
-        lam_it = _barrier([jnp.where(finite, c, p) for c, p in zip(cand, lam_it)])
+        lam_it = fence([jnp.where(finite, c, p) for c, p in zip(cand, lam_it)])
         res = nat_residual(lam_it)
         better = res < best_res
-        best = _barrier([jnp.where(better, c, b_) for c, b_ in zip(lam_it, best)])
+        best = fence([jnp.where(better, c, b_) for c, b_ in zip(lam_it, best)])
         best_res = jnp.minimum(res, best_res)
 
     # ---- gradient attachment (straight-through IFT): the primal is exactly
@@ -805,7 +807,7 @@ def _tile_lcp(J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters, pa
         jnp.where(ok, b_ + (g - jax.lax.stop_gradient(g)), b_)
         for g, b_ in zip(out_g, best)
     ]
-    return _barrier(out)
+    return fence(out)
 
 
 def _sparse_dot_mat(Mat, k, row: dict):

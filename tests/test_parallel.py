@@ -131,3 +131,78 @@ def test_dryrun_multichip_inprocess():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(N_DEV)  # raises on failure
+
+
+def _load_graft_entry():
+    import importlib.util, pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "_graft_entry_test2",
+        pathlib.Path(__file__).resolve().parent.parent / "__graft_entry__.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_dryrun_subprocesses_unless_default_backend_is_cpu(monkeypatch):
+    """Regression for MULTICHIP_r01/r02: when the process default backend is
+    NOT cpu — even if >= n CPU devices are visible — dryrun_multichip must
+    take the scrubbed-subprocess path, never touch the default backend, and
+    hand the child a clean env (cpu platform pinned, no inherited
+    compilation cache, forced host device count)."""
+    mod = _load_graft_entry()
+    calls = {}
+
+    class _Proc:
+        returncode = 0
+        stdout = "ok"
+        stderr = ""
+
+    class _SubprocessStub:
+        @staticmethod
+        def run(argv, env=None, **kw):
+            calls["argv"] = argv
+            calls["env"] = env
+            return _Proc()
+
+    monkeypatch.setattr(mod, "subprocess", _SubprocessStub)
+    # simulate the round-2 driver condition: broken/non-cpu default backend
+    monkeypatch.setattr(mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/tmp/poisoned_cache")
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+
+    mod.dryrun_multichip(N_DEV)
+
+    assert "argv" in calls, "subprocess path was not taken"
+    assert calls["argv"][1:] == ["--child", str(N_DEV)] or calls["argv"][2:] == [
+        "--child",
+        str(N_DEV),
+    ]
+    env = calls["env"]
+    assert env["JAX_PLATFORMS"] == "cpu"
+    assert "JAX_COMPILATION_CACHE_DIR" not in env
+    assert f"--xla_force_host_platform_device_count={N_DEV}" in env["XLA_FLAGS"]
+
+
+def test_dryrun_inprocess_branch_is_device_fenced(monkeypatch):
+    """The in-process fast path must wrap _dryrun_impl in
+    jax.default_device(cpu) so default-device array creation can never land
+    on a non-CPU backend (the exact round-2 failure)."""
+    mod = _load_graft_entry()
+    seen = {}
+    real_impl = mod._dryrun_impl
+
+    def spy(n, devices):
+        import jax as _jax
+
+        cfg_dev = _jax.config.jax_default_device
+        seen["default_device"] = cfg_dev
+        seen["devices"] = list(devices)
+        return real_impl(n, devices)
+
+    monkeypatch.setattr(mod, "_dryrun_impl", spy)
+    mod.dryrun_multichip(N_DEV)
+    assert seen["default_device"] is not None
+    assert seen["default_device"].platform == "cpu"
+    assert all(d.platform == "cpu" for d in seen["devices"])
