@@ -116,6 +116,47 @@ def main():
     except Exception as e:  # noqa: BLE001
         extra["atlas_error"] = f"{type(e).__name__}: {e}"[:300]
 
+    # the BASELINE metric AS WRITTEN: full contact solve + gradients.
+    # (a) fwd+grad: BPTT through a 10-step contact rollout, grad wrt the
+    #     control tape; (b) per-step Jacobians: timestep_jacobians (the
+    #     reference's BackpropSnapshot.getPosPos/PosVel/VelVel/... set)
+    #     computed every step.
+    try:
+        from diffdart_tpu.sim import rollout_checkpointed
+
+        tausH = jnp.zeros((Th, Bh, mh.nv), dtype)
+
+        def lossh(taus):
+            final = jax.vmap(
+                lambda s, t: rollout_checkpointed(mh, s, t), in_axes=(0, 1)
+            )(bh, taus)
+            return jnp.mean(final.q[:, 2] ** 2) + 1e-4 * jnp.mean(taus**2)
+
+        gradh = jax.jit(jax.grad(lossh))
+        gradh(tausH).block_until_ready()
+        t_ag = _timeit(lambda: gradh(tausH), lambda o: o, iters=3)
+        extra["atlas_fwdgrad_steps_per_sec"] = round(Bh * Th / t_ag)
+        extra["atlas_fwdgrad_vs_50k_target"] = round(Bh * Th / t_ag / 50_000.0, 4)
+    except Exception as e:  # noqa: BLE001
+        extra["atlas_fwdgrad_error"] = f"{type(e).__name__}: {e}"[:300]
+
+    try:
+        from diffdart_tpu.neural.jacobians import timestep_jacobians
+
+        Bj = 256
+        bj = State(
+            q=jnp.tile(humanoid_init_q(mh), (Bj, 1)),
+            v=jnp.zeros((Bj, mh.nv), dtype),
+            t=jnp.zeros(Bj, dtype),
+        )
+        jach = jax.jit(jax.vmap(lambda s: timestep_jacobians(mh, s)))
+        jach(bj).vel_vel.block_until_ready()
+        t_aj = _timeit(lambda: jach(bj), lambda o: o.vel_vel, iters=3)
+        extra["atlas_jacobians_steps_per_sec"] = round(Bj / t_aj)
+        extra["atlas_jacobians_vs_50k_target"] = round(Bj / t_aj / 50_000.0, 4)
+    except Exception as e:  # noqa: BLE001
+        extra["atlas_jacobians_error"] = f"{type(e).__name__}: {e}"[:300]
+
     extra["fwd_env_steps_per_sec"] = round(sps_fwd)
     result = {
         "metric": "halfcheetah env-steps/sec/chip (fwd+grad, B=4096)",

@@ -4,6 +4,7 @@ from diffdart_tpu.models.basic import (  # noqa: F401
     cartpole,
     chain,
     projectile,
+    capsule_lying,
     cube_drop,
 )
 from diffdart_tpu.models.half_cheetah import half_cheetah, cheetah_init_q  # noqa: F401

@@ -103,3 +103,22 @@ def cube_drop(dt=1e-3, half=0.1, mass=1.0, friction=0.8, restitution=0.0, n_cube
         b.add_geom(body, GeomType.BOX, size=(half, half, half),
                    friction=friction, restitution=restitution)
     return b.finalize()
+
+
+def capsule_lying(dt=2e-3, radius=0.05, half_len=0.2, mass=1.0, friction=0.8) -> Model:
+    """Free capsule lying FLAT on the ground (axis horizontal): both caps
+    touch the plane simultaneously, making the contact normal rows nearly
+    linearly dependent — the canonical rank-deficient configuration the
+    LCP pivot refinement exists for (ops/lcp_pivot.py; the reference's
+    dSolveLCP handles these by pivoting)."""
+    b = ModelBuilder(dt=dt)
+    body = b.add_body(
+        parent=-1, jtype=JointType.FREE, mass=mass,
+        inertia=np.diag([0.02, 0.02, 0.005]) * mass, name="capsule",
+    )
+    # capsule axis along x (geom frame z -> world x) so it lies flat
+    rot = np.array([[0.0, 0.0, 1.0], [0.0, 1.0, 0.0], [-1.0, 0.0, 0.0]])
+    b.add_geom(body, GeomType.CAPSULE, size=(radius, half_len, 0.0), rot=rot,
+               friction=friction)
+    b.add_geom(-1, GeomType.PLANE, friction=friction)
+    return b.finalize()

@@ -93,11 +93,16 @@ def _polish_lowrank(lam0, J, L_M, cfm, A, b, lo, hi, mu, fidx, passes=3):
     return best
 
 
-def _solve_impl(J, M, cfm, b, lo, hi, mu, fidx, iters, passes, fidx_pallas):
+def _solve_impl(J, M, cfm, b, lo, hi, mu, fidx, iters, passes, fidx_pallas,
+                pivot_iters=16):
     """Boxed LCP with A = J M^-1 J^T + cfm I formed internally.
     fidx_pallas: static tuple of fidx values — when given, the warm-start
     sweeps run in the fused Pallas TPU kernel (A stays in VMEM across all
-    iterations) instead of XLA matvecs. Returns lambda (D,)."""
+    iterations) instead of XLA matvecs. pivot_iters > 0 appends the
+    single-flip principal-pivoting refinement (ops/lcp_pivot.py) that closes
+    the policy-iteration chain's spurious fixed points on redundant contact
+    sets; its while_loop exits immediately for already-converged lanes.
+    Returns lambda (D,)."""
     # full f32 matmul precision is REQUIRED here: TPU matmuls default to
     # bf16 MXU passes, and the 1/cfm amplification in the Woodbury solve
     # turns that 8e-3 relative error into exploding (1e17) gradients
@@ -111,7 +116,14 @@ def _solve_impl(J, M, cfm, b, lo, hi, mu, fidx, iters, passes, fidx_pallas):
             lam = jacobi_sweeps_pallas_single(A, b, lo, hi, mu, fidx_pallas, iters)
         else:
             lam = _jacobi(A, b, lo, hi, mu, fidx, iters)
-        return _polish_lowrank(lam, J, L_M, cfm, A, b, lo, hi, mu, fidx, passes)
+        lam = _polish_lowrank(lam, J, L_M, cfm, A, b, lo, hi, mu, fidx, passes)
+        if pivot_iters:
+            from diffdart_tpu.ops.lcp_pivot import pivot_refine
+
+            lam = pivot_refine(
+                lam, J, L_M, cfm, A, b, lo, hi, mu, fidx, iters=pivot_iters
+            )
+        return lam
 
 
 # ---------------------------------------------------------------------------
@@ -125,18 +137,18 @@ def _solve_impl(J, M, cfm, b, lo, hi, mu, fidx, iters, passes, fidx_pallas):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
-def boxed_lcp_lowrank(J, M, cfm, b, lo, hi, mu, fidx, iters=8, passes=3, fidx_pallas=None):
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def boxed_lcp_lowrank(J, M, cfm, b, lo, hi, mu, fidx, iters=8, passes=3, fidx_pallas=None, pivot_iters=16):
     """Default reverse-mode-optimized entry point (see _solve_impl)."""
-    return _solve_impl(J, M, cfm, b, lo, hi, mu, fidx, iters, passes, fidx_pallas)
+    return _solve_impl(J, M, cfm, b, lo, hi, mu, fidx, iters, passes, fidx_pallas, pivot_iters)
 
 
-def _vjp_fwd(J, M, cfm, b, lo, hi, mu, fidx, iters, passes, fidx_pallas):
-    lam = _solve_impl(J, M, cfm, b, lo, hi, mu, fidx, iters, passes, fidx_pallas)
+def _vjp_fwd(J, M, cfm, b, lo, hi, mu, fidx, iters, passes, fidx_pallas, pivot_iters):
+    lam = _solve_impl(J, M, cfm, b, lo, hi, mu, fidx, iters, passes, fidx_pallas, pivot_iters)
     return lam, (J, M, cfm, b, lo, hi, mu, fidx, lam)
 
 
-def _vjp_bwd(iters, passes, fidx_pallas, res, g):
+def _vjp_bwd(iters, passes, fidx_pallas, pivot_iters, res, g):
     J, M, cfm, b, lo, hi, mu, fidx, lam = res
     with jax.default_matmul_precision("highest"):
         def tangent_map(dJ, dM, dcfm, db, dlo, dhi, dmu):
@@ -152,17 +164,17 @@ def _vjp_bwd(iters, passes, fidx_pallas, res, g):
 boxed_lcp_lowrank.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-@partial(jax.custom_jvp, nondiff_argnums=(8, 9, 10))
-def boxed_lcp_lowrank_jvp(J, M, cfm, b, lo, hi, mu, fidx, iters=8, passes=3, fidx_pallas=None):
+@partial(jax.custom_jvp, nondiff_argnums=(8, 9, 10, 11))
+def boxed_lcp_lowrank_jvp(J, M, cfm, b, lo, hi, mu, fidx, iters=8, passes=3, fidx_pallas=None, pivot_iters=16):
     """Forward-mode-capable variant (jacfwd); see _solve_impl."""
-    return _solve_impl(J, M, cfm, b, lo, hi, mu, fidx, iters, passes, fidx_pallas)
+    return _solve_impl(J, M, cfm, b, lo, hi, mu, fidx, iters, passes, fidx_pallas, pivot_iters)
 
 
 @boxed_lcp_lowrank_jvp.defjvp
-def _lowrank_jvp(iters, passes, fidx_pallas, primals, tangents):
+def _lowrank_jvp(iters, passes, fidx_pallas, pivot_iters, primals, tangents):
     J, M, cfm, b, lo, hi, mu, fidx = primals
     dJ, dM, dcfm, db, dlo, dhi, dmu, _ = tangents
-    lam = _solve_impl(J, M, cfm, b, lo, hi, mu, fidx, iters, passes, fidx_pallas)
+    lam = _solve_impl(J, M, cfm, b, lo, hi, mu, fidx, iters, passes, fidx_pallas, pivot_iters)
     with jax.default_matmul_precision("highest"):
         return lam, _lowrank_jvp_tangent(
             J, M, cfm, b, lo, hi, mu, fidx, lam, dJ, dM, dcfm, db, dlo, dhi, dmu

@@ -156,19 +156,44 @@ def make_bench_fns(model: Model):
 
 
 def rollout_tiled(model: Model, state: State, taus, interpret: bool = False) -> State:
-    """BPTT rollout on the fused-kernel path. state: batched State with
+    """BPTT rollout on the fused tile path. state: batched State with
     (B, nq)/(B, nv) fields; taus: (T, B, nv). Returns the final batched
-    State. Gradients flow wrt state and taus (model params are baked)."""
-    step = build_pallas_step(model, interpret=interpret)
+    State. Gradients flow wrt state and taus (model params are baked).
+
+    Small-D models run the single-Pallas-kernel step (whole step in VMEM);
+    hybrid xla-LCP models (big D, e.g. the Atlas-class humanoid — see
+    build_tile_step's lcp='xla') scan the jitted XLA tile step with
+    per-step rematerialization instead."""
+    from diffdart_tpu.sim.tilestep import TileStepUnsupported, build_tile_step
+
+    try:
+        step = build_pallas_step(model, interpret=interpret)
+    except TileStepUnsupported:
+        step = None
     q = to_tiles(state.q)
     v = to_tiles(state.v)
     taus_t = jax.vmap(to_tiles)(taus)
 
-    def body(carry, tau):
-        qc, vc = carry
-        qn, vn = step(qc, vc, tau)
-        return (qn, vn), None
+    if step is not None:
+        def body(carry, tau):
+            qc, vc = carry
+            qn, vn = step(qc, vc, tau)
+            return (qn, vn), None
 
-    (qf, vf), _ = jax.lax.scan(body, (q, v), taus_t)
+        (qf, vf), _ = jax.lax.scan(body, (q, v), taus_t)
+    else:
+        tstep = build_tile_step(model, output="tiles")
+        nq, nv = model.nq, model.nv
+
+        def body_h(carry, tau):
+            qc, vc = carry
+            qn, vn = tstep(qc, vc, tuple(tau[i] for i in range(nv)))
+            return (qn, vn), None
+
+        qt = tuple(q[i] for i in range(nq))
+        vt = tuple(v[i] for i in range(nv))
+        (qf_t, vf_t), _ = jax.lax.scan(jax.checkpoint(body_h), (qt, vt), taus_t)
+        qf = jnp.stack(qf_t)
+        vf = jnp.stack(vf_t)
     t = state.t + taus.shape[0] * model.dt.astype(state.q.dtype) if state.t is not None else None
     return State(q=from_tiles(qf), v=from_tiles(vf), t=t)

@@ -54,6 +54,80 @@ def prepare_constrained(model: Model, state: State, tau=None):
     return lcp, M, Minv, v_star, dt
 
 
+def solve_contact_lcp(model: Model, lcp, M):
+    """The configured LCP solve on an assembled problem (shared by
+    step_constrained and solver_diagnostics)."""
+    dtype = lcp.b.dtype
+    if model.lcp_dtype == "f64" and dtype != jnp.float64:
+        # f64 precision island (see Model.lcp_dtype): promote the solve and
+        # its IFT gradient, demote the impulses. The casts are linear, so AD
+        # composes; everything inside is hand-rolled small linalg that
+        # compiles on TPU's f64 emulation.
+        if not jax.config.jax_enable_x64:
+            raise ValueError(
+                "Model.lcp_dtype='f64' requires jax_enable_x64 "
+                "(jax.config.update('jax_enable_x64', True))"
+            )
+        f64 = jnp.float64
+        lcp64 = lcp._replace(
+            J=lcp.J.astype(f64), A=lcp.A.astype(f64), b=lcp.b.astype(f64),
+            lo=lcp.lo.astype(f64), hi=lcp.hi.astype(f64), mu=lcp.mu.astype(f64),
+        )
+        lam = solve_contact_lcp(
+            model.replace(lcp_dtype="state"), lcp64, M.astype(f64)
+        )
+        return lam.astype(dtype)
+    if model.contact_solver in ("lowrank", "lowrank_pallas"):
+        from diffdart_tpu.constraints.assembly import static_fidx
+        from diffdart_tpu.ops.lcp_lowrank import boxed_lcp_lowrank
+
+        # 'lowrank_pallas': fused-VMEM Pallas sweeps. Measured SLOWER than
+        # the XLA path under per-env vmap (grid overhead dominates the
+        # tiny per-env blocks: 10.5ms vs 6.6ms at B=4096, D=42), so the
+        # default stays XLA; the kernel is kept for the batched-block
+        # execution path and as the template for future fusion work.
+        use_pallas = model.contact_solver == "lowrank_pallas" and jax.default_backend() == "tpu"
+        fidx_pallas = static_fidx(model) if use_pallas else None
+        return boxed_lcp_lowrank(
+            lcp.J, M, jnp.asarray(model.contact_cfm, dtype), lcp.b,
+            lcp.lo, lcp.hi, lcp.mu, lcp.fidx,
+            model.contact_iters, 2 if model.lcp_polish else 0, fidx_pallas,
+            model.lcp_pivot_iters,
+        )
+    return boxed_lcp(
+        lcp.A, lcp.b, lcp.lo, lcp.hi, lcp.mu, lcp.fidx,
+        model.contact_iters, model.contact_solver, model.lcp_polish,
+    )
+
+
+def solver_diagnostics(model: Model, state: State, tau=None):
+    """Per-state contact-solver health: the natural-map residual of the LCP
+    solution at this state (vmap for per-env values).
+
+    Interpretation: <= ~1e-6 (f64) means a pivot-accurate solve; values far
+    above the precision floor mean the solver stalled on this state — the
+    impulses AND the IFT gradient's active-set classification are unreliable
+    there. The floor itself is dtype-bound: the Woodbury active-set solve
+    amplifies rounding by ~eps/cfm, so plain f32 at the default cfm=1e-6
+    bottoms out near ~4e-2 EVEN WHEN THE ACTIVE SET IS CORRECT (measured on
+    TPU: capsule-flat state reads 3.9e-2 in f32, 4.3e-5 with
+    lcp_dtype='f64', 3.2e-4 at cfm=1e-4 — scaling exactly as eps/cfm).
+    For a stall-vs-precision diagnosis in f32, query with
+    model.replace(lcp_dtype='f64').
+
+    The reference surfaces the analogous condition through dSolveLCP's
+    return status (dart/external/odelcpsolver/lcp.cpp); here it is an
+    explicit queryable (and loggable) quantity instead of a silent
+    zero-subgradient fallback."""
+    from diffdart_tpu.ops.lcp import _nat_residual
+
+    lcp, M, Minv, v_star, dt = prepare_constrained(model, state, tau)
+    if lcp.A.shape[0] == 0:
+        return jnp.zeros((), state.q.dtype)
+    lam = solve_contact_lcp(model, lcp, M)
+    return _nat_residual(lam, lcp.A, lcp.b, lcp.lo, lcp.hi, lcp.mu, lcp.fidx)
+
+
 def step_constrained(model: Model, state: State, tau=None) -> State:
     q, v = state.q, state.v
     dtype = q.dtype
@@ -61,27 +135,7 @@ def step_constrained(model: Model, state: State, tau=None) -> State:
     if lcp.A.shape[0] == 0:
         v_new = v_star
     else:
-        if model.contact_solver in ("lowrank", "lowrank_pallas"):
-            from diffdart_tpu.constraints.assembly import static_fidx
-            from diffdart_tpu.ops.lcp_lowrank import boxed_lcp_lowrank
-
-            # 'lowrank_pallas': fused-VMEM Pallas sweeps. Measured SLOWER than
-            # the XLA path under per-env vmap (grid overhead dominates the
-            # tiny per-env blocks: 10.5ms vs 6.6ms at B=4096, D=42), so the
-            # default stays XLA; the kernel is kept for the batched-block
-            # execution path and as the template for future fusion work.
-            use_pallas = model.contact_solver == "lowrank_pallas" and jax.default_backend() == "tpu"
-            fidx_pallas = static_fidx(model) if use_pallas else None
-            lam = boxed_lcp_lowrank(
-                lcp.J, M, jnp.asarray(model.contact_cfm, dtype), lcp.b,
-                lcp.lo, lcp.hi, lcp.mu, lcp.fidx,
-                model.contact_iters, 2 if model.lcp_polish else 0, fidx_pallas,
-            )
-        else:
-            lam = boxed_lcp(
-                lcp.A, lcp.b, lcp.lo, lcp.hi, lcp.mu, lcp.fidx,
-                model.contact_iters, model.contact_solver, model.lcp_polish,
-            )
+        lam = solve_contact_lcp(model, lcp, M)
         # named for remat policies: rollout_checkpointed saves lambda so the
         # backward pass never re-runs the LCP sweeps/polish
         from jax.ad_checkpoint import checkpoint_name

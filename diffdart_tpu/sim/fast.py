@@ -13,6 +13,8 @@ redesign pays off.
 """
 from __future__ import annotations
 
+import warnings
+
 import jax
 
 from diffdart_tpu.dynamics.model import Model, State
@@ -32,19 +34,64 @@ def supports_fused(model: Model) -> bool:
         return False
 
 
-def rollout_fast(model: Model, state: State, taus, interpret: bool = False) -> State:
+def _fallback_reason(model: Model, B: int) -> str | None:
+    """Why the fused path can't be used, or None if it can.
+
+    The three dispatch rules (ALL must hold for the fused path):
+      * B % 1024 == 0 — envs are laid out as (8, 128) VPU tiles;
+      * model params are concrete — the tile step BAKES mass/inertia/
+        friction as trace-time constants (sim/tilestep.py), so gradients
+        wrt model parameters would silently vanish there; traced params
+        dispatch to the vmap path, where WithRespectTo-style parameter
+        gradients are exact (tests/test_neural.py);
+      * the model is inside the tiled subset (supports_fused).
+    """
+    if any(
+        isinstance(leaf, jax.core.Tracer) for leaf in jax.tree_util.tree_leaves(model)
+    ):
+        return (
+            "model parameters are traced (grad/jvp wrt mass/inertia/...); the "
+            "fused path bakes them as constants, so using it would silently "
+            "zero those gradients"
+        )
+    if B % 1024 != 0:
+        return f"batch size {B} is not a multiple of 1024 (the (8,128)-lane tile)"
+    if not supports_fused(model):
+        return "model is outside the fused tile subset (see sim/tilestep.py header)"
+    return None
+
+
+def rollout_fast(
+    model: Model,
+    state: State,
+    taus,
+    interpret: bool = False,
+    warn_on_fallback: bool = True,
+) -> State:
     """BPTT-ready batched rollout on the fastest available path.
 
     state: batched State with (B, nq)/(B, nv) fields; taus: (T, B, nv).
-    B must be a multiple of 1024 for the fused path (8 sublanes x 128-lane
-    blocks); other batch sizes, or models outside the tiled subset, fall
-    back to the vmapped per-step-remat path. Returns the final State.
-    Gradients flow wrt state and taus on both paths.
+    Returns the final State. Gradients flow wrt state and taus on both paths;
+    gradients wrt MODEL PARAMETERS (mass/inertia/friction/...) flow only on
+    the vmap path — traced model leaves therefore force the vmap dispatch.
+
+    Dispatch: the fused tile/Pallas path requires B to be a multiple of 1024
+    ((8, 128) VPU tiles), concrete model params, and the model to be in the
+    tiled subset; ANY other case falls back to the vmapped per-step-remat
+    path, which is ~100x slower at large batch — a UserWarning names the
+    reason (silence with warn_on_fallback=False).
     """
     B = state.q.shape[0]
-    if B % 1024 == 0 and supports_fused(model):
+    reason = _fallback_reason(model, B)
+    if reason is None:
         from diffdart_tpu.ops.pallas_step import rollout_tiled
 
         return rollout_tiled(model, state, taus, interpret=interpret)
+    if warn_on_fallback:
+        warnings.warn(
+            f"rollout_fast: falling back to the ~100x-slower vmap path: {reason}",
+            UserWarning,
+            stacklevel=2,
+        )
     final = jax.vmap(lambda s, t: rollout_checkpointed(model, s, t), in_axes=(0, 1))(state, taus)
     return final

@@ -11,16 +11,27 @@ constant plane normals) fold away, and the whole step becomes one straight
 chain of full-tile VPU ops — runnable as plain XLA or as the body of a
 single Pallas kernel (ops/pallas_step.py).
 
-Supported (v2): REVOLUTE / PRISMATIC / PLANAR / WELD / FREE joints
-(quaternion FK + geometric integration); capsule-plane, sphere-plane and
-box-plane (8-corner) contacts; joint limits on scalar dofs; the lowrank
-boxed-LCP with Woodbury polish. Models outside this subset raise
-TileStepUnsupported — callers fall back to the vmap path. Gradients flow
-wrt (q, v, tau) only: model parameters are baked as trace-time constants
-(use the vmap path for parameter Jacobians / WithRespectTo). Large-D
-models (e.g. the 30-DOF humanoid, D~130 LCP rows) stay on the vmap path:
-the tiled LCP's O(D^2) trace-time assembly is sized for locomotion-scale
-D<~60.
+Supported (v3): REVOLUTE / PRISMATIC / PLANAR / WELD / FREE joints
+(quaternion FK + geometric integration); capsule-plane, sphere-plane,
+box-plane (8-corner) and convex-hull-plane (4 deepest verts) contacts;
+joint limits on scalar dofs; the lowrank boxed-LCP with Woodbury polish.
+Models outside this subset raise TileStepUnsupported — callers fall back
+to the vmap path. Gradients flow wrt (q, v, tau) only: model parameters
+are baked as trace-time constants (use the vmap path for parameter
+Jacobians / WithRespectTo). Large-D models (e.g. the Atlas-class humanoid,
+D~141 LCP rows) run the HYBRID lcp='xla' mode: fused tile dynamics/FK/
+assembly, with the rows materialized into batched dense arrays and solved
+by the canonical vmapped lowrank chain (see build_tile_step).
+
+Solver-fidelity scope: the fully-traced tile LCP (_tile_lcp, lcp='tile')
+runs the Jacobi + Woodbury-polish chain WITHOUT the single-flip pivot
+refinement of ops/lcp_pivot.py — a data-dependent while_loop has no
+trace-time tile form. The hybrid lcp='xla' mode and the vmap path both
+include it (Model.lcp_pivot_iters). On rank-deficient contact sets the
+tile path can therefore settle on a slightly different (policy-iteration)
+impulse; cross-path agreement in the default config is gated at trajectory
+level by tests/test_drift.py, per-step parity at lcp_pivot_iters=0 by
+tests/test_tilestep.py.
 
 Gradient semantics match ops/lcp_lowrank.py: the LCP warm start + all but
 the final polish pass sit behind stop_gradient, and the final pass solves
@@ -96,7 +107,8 @@ def _tangent_basis_const(n):
     return t1, t2
 
 
-def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True):
+def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True,
+                    lcp: str = "auto"):
     """Specialize the full constrained step for `model`.
 
     output='stacked': step(q, v, tau) on stacked tiles of shape (nq|nv, S, L)
@@ -108,6 +120,17 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
 
     barriers=False drops the optimization_barrier fences (used inside Pallas
     kernels, where Mosaic compiles the straight-line body directly).
+
+    lcp: 'tile' runs the fully-unrolled trace-time LCP (_tile_lcp — every
+    A entry a scalar expression; right for small D); 'xla' materializes the
+    assembled rows into batched dense (B, D, nv) arrays and solves with the
+    vmapped lowrank chain incl. pivot refinement (ops/lcp_lowrank) — the
+    HYBRID path for big-D models (Atlas-class humanoid: D ~ 141), where the
+    D^2 trace of the tile LCP would explode but fused tile dynamics/FK/
+    assembly still pay; 'auto' picks 'xla' when D > 64. 'xla' cannot run
+    inside a Pallas kernel (it needs a custom_vjp solve) — build_pallas_step
+    rejects such models; scan the jitted tile step instead
+    (ops/pallas_step.rollout_tiled dispatches automatically).
     """
     nb, nv, nq = model.nbody, model.nv, model.nq
     jt = tuple(int(j) for j in model.jtype)
@@ -138,8 +161,10 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
     for j in jt:
         if j not in ok_joints:
             raise TileStepUnsupported(f"tile step: joint type {j} not supported yet")
-    if model.servo_dofs or model.friction_dofs or model.ball_pairs or model.weld_pairs:
-        raise TileStepUnsupported("tile step: servo/joint-friction/bilateral rows not supported yet")
+    if (model.servo_dofs or model.friction_dofs or model.ball_pairs
+            or model.weld_pairs or model.mimic_pairs):
+        raise TileStepUnsupported(
+            "tile step: servo/joint-friction/bilateral/mimic rows not supported yet")
     if int(getattr(model, "contact_budget", 0) or 0):
         raise TileStepUnsupported("tile step: contact-budget top-K selection not supported yet")
 
@@ -163,7 +188,7 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
     # ---- static collision plan: (body, geom consts) per pair, plane side const
     plan = []
     gt = model.geom_type
-    _vs_plane = (GeomType.CAPSULE, GeomType.SPHERE, GeomType.BOX)
+    _vs_plane = (GeomType.CAPSULE, GeomType.SPHERE, GeomType.BOX, GeomType.CONVEX)
     for (a, b) in model.col_pairs:
         ta, tb = gt[a], gt[b]
         if tb == GeomType.PLANE and ta in _vs_plane:
@@ -178,22 +203,30 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
         p_pl = np.asarray(model.geom_pos[pl], float)
         fr = float(min(model.geom_friction[g], model.geom_friction[pl]))
         rest = float(model.geom_restitution[g] * model.geom_restitution[pl])
-        plan.append(
-            dict(
-                body=int(model.geom_body[g]),
-                gtype=int(gt[g]),
-                size=np.asarray(model.geom_size[g], float),
-                grot=np.asarray(model.geom_rot[g], float),
-                gpos=np.asarray(model.geom_pos[g], float),
-                n=n_w,
-                p_pl=p_pl,
-                friction=fr,
-                restitution=rest,
-            )
+        entry = dict(
+            body=int(model.geom_body[g]),
+            gtype=int(gt[g]),
+            size=np.asarray(model.geom_size[g], float),
+            grot=np.asarray(model.geom_rot[g], float),
+            gpos=np.asarray(model.geom_pos[g], float),
+            n=n_w,
+            p_pl=p_pl,
+            friction=fr,
+            restitution=rest,
         )
-    # slots per pair: box 8 (all corners), capsule 2, sphere 1 — must match
-    # collide._DISPATCH so row layout agrees with the vmap path
-    _slot_table = {GeomType.BOX: 8, GeomType.CAPSULE: 2, GeomType.SPHERE: 1}
+        if gt[g] == GeomType.CONVEX:
+            # real (unpadded) hull vertices, geom-local, as trace constants
+            h = model.geom_hull[g]
+            vc = int(model.hull_vcounts[h])
+            entry["verts"] = np.asarray(model.hull_verts[h], float)[:vc]
+        plan.append(entry)
+    # slots per pair: box 8 (all corners), capsule 2, sphere 1, convex hull 4
+    # (k deepest vertices) — must match collide._DISPATCH /
+    # _DISPATCH_HULL_SLOTS so row layout agrees with the vmap path
+    _slot_table = {
+        GeomType.BOX: 8, GeomType.CAPSULE: 2, GeomType.SPHERE: 1,
+        GeomType.CONVEX: 4,
+    }
     slots = [_slot_table[p["gtype"]] for p in plan]
     nc = sum(slots)
     lim = tuple(int(d) for d in model.limited_dofs) if model.enable_joint_limits else ()
@@ -203,6 +236,17 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
     D = 3 * nc + 2 * nlim
     iters = int(model.contact_iters)
     polish_passes = 2 if model.lcp_polish else 0
+    if lcp == "auto":
+        lcp = "xla" if D > 64 else "tile"
+    if lcp not in ("tile", "xla"):
+        raise ValueError(f"build_tile_step: unknown lcp mode {lcp!r}")
+    if lcp == "xla" and not barriers:
+        # barriers=False marks a Pallas/Mosaic kernel body; the xla LCP's
+        # custom_vjp solve cannot live inside a kernel
+        raise TileStepUnsupported(
+            "tile step: hybrid xla-LCP models cannot run inside a Pallas "
+            "kernel; scan the jitted tile step instead"
+        )
 
     anc_dofs = [tuple(int(j) for j in np.nonzero(anc[b])[0]) for b in range(nb)]
 
@@ -431,6 +475,26 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
                             con_mu.append(pp["friction"])
                             con_rest.append(pp["restitution"])
                 continue
+            if pp["gtype"] == GeomType.CONVEX:
+                # convex-plane: all hull verts are candidates, the k=4
+                # deepest become slots (collision/convex.convex_plane parity:
+                # depth = p_pl.n - w.n, pos = the vertex itself, stable
+                # index tie-break)
+                off = float(np.dot(pp["p_pl"], pp["n"]))
+                depths, poss = [], []
+                for vloc in pp["verts"]:
+                    w = T.vadd(T.matvec3(Rg, [float(x) or None for x in vloc]), pg)
+                    depths.append(T.sub(off, T.dot(w, n_c)))
+                    poss.append(w)
+                for d_s, pos_s in _topk_tile_slots(depths, poss, 4, zero_like):
+                    con_pos.append(pos_s)
+                    con_depth.append(d_s)
+                    con_valid.append(T.materialize(d_s, zero_like) > 0)
+                    con_n.append(n_c)
+                    con_body.append(b)
+                    con_mu.append(pp["friction"])
+                    con_rest.append(pp["restitution"])
+                continue
             r_g = float(pp["size"][0])
             if pp["gtype"] == GeomType.CAPSULE:
                 hl = float(pp["size"][1])
@@ -508,17 +572,23 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
             b_vec[3 * nc + nlim + li] = T.sub(T.neg(v_star[dof]), t_hi)
             valid[3 * nc + nlim + li] = act_hi
 
-        lam = _tile_lcp(
-            J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters,
-            polish_passes, zero_like, barriers,
-        )
+        if lcp == "xla":
+            v_new = _xla_lcp_vnew(
+                model, J_rows, b_vec, valid, mu_row, fidx, M, v_star, nv, D,
+                cfm, iters, polish_passes, zero_like,
+            )
+        else:
+            lam = _tile_lcp(
+                J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters,
+                polish_passes, zero_like, barriers,
+            )
 
-        # v_new = v_star + Minv J^T lam
-        jt_lam = [None] * nv
-        for i in range(D):
-            for j, el in J_rows[i].items():
-                jt_lam[j] = T.fma(jt_lam[j], el, lam[i])
-        v_new = [T.add(v_star[k], T.dot(Minv[k], jt_lam)) for k in range(nv)]
+            # v_new = v_star + Minv J^T lam
+            jt_lam = [None] * nv
+            for i in range(D):
+                for j, el in J_rows[i].items():
+                    jt_lam[j] = T.fma(jt_lam[j], el, lam[i])
+            v_new = [T.add(v_star[k], T.dot(Minv[k], jt_lam)) for k in range(nv)]
         q_new = _integrate(q, v_new)
         return q_new, v_new
 
@@ -571,6 +641,125 @@ def _sparse_dot(row: dict, vec):
     for j, el in row.items():
         acc = T.fma(acc, el, vec[j])
     return acc
+
+
+def _topk_tile_slots(depths, poss, k, zero_like):
+    """Per-env top-k deepest candidates as fixed slots, in tile algebra.
+
+    Parity with collision/convex._topk_contacts (argsort(-score)[:k], stable):
+    slots come out depth-descending, ties broken by LOWER candidate index.
+    Selection is a running strict-greater max (later equal values never
+    replace) followed by a first-match sweep; the winner's masked score is
+    then dropped to -1e30 so the next slot picks the next candidate.
+    ~7n tile ops per slot."""
+    n = len(depths)
+    ms = [T.materialize(d, zero_like) for d in depths]  # masked scores
+    out = []
+    for _ in range(min(k, n)):
+        best = ms[0]
+        for j in range(1, n):
+            best = jnp.maximum(best, ms[j])
+        found = None
+        sel_depth = None
+        sel_pos = [None, None, None]
+        for j in range(n):
+            eq = ms[j] == best  # bit-exact: best IS one of the ms values
+            sel_j = eq if found is None else (eq & ~found)
+            found = sel_j if found is None else (found | sel_j)
+            sel_depth = T.where(sel_j, depths[j], sel_depth)
+            for a in range(3):
+                sel_pos[a] = T.where(sel_j, poss[j][a], sel_pos[a])
+            ms[j] = jnp.where(sel_j, -1e30, ms[j])
+        out.append((sel_depth, sel_pos))
+    while len(out) < k:  # hulls with fewer verts than k: dead slots
+        out.append((None, [None, None, None]))
+    return out
+
+
+def _xla_lcp_vnew(model, J_rows, b_vec, valid, mu_row, fidx, M, v_star, nv, D,
+                  cfm, iters, passes, zero_like):
+    """Hybrid LCP backend for big-D models (Atlas-class humanoid): the
+    tile-assembled rows materialize into batched dense (B, D, nv) arrays and
+    the solve runs through the SAME vmapped lowrank chain as the canonical
+    path (ops/lcp_lowrank.boxed_lcp_lowrank: Pallas/Jacobi sweeps + Woodbury
+    polish + pivot refinement + IFT custom_vjp — so gradients, robustness
+    and the f64 island all carry over). Returns v_new as a tile list.
+
+    The D^2 trace of _tile_lcp is quadratic in row count; at the humanoid's
+    D ~ 141 it would dominate compile and program size. Dense (B, D, nv)
+    batched matmuls on the MXU are the memory-hierarchy-correct layout at
+    that size; the tile layer still owns FK/dynamics/Minv/assembly, which is
+    where trace-time constant folding wins."""
+    from diffdart_tpu.ops.lcp_lowrank import boxed_lcp_lowrank
+    from diffdart_tpu.ops.smalllinalg import cholesky_small, cho_solve_small
+
+    dtype = zero_like.dtype
+    S_, L_ = zero_like.shape
+    B = S_ * L_
+
+    def envf(x):
+        """(lead..., S, L) -> (B, lead...)."""
+        flat = x.reshape(x.shape[:-2] + (B,))
+        return jnp.moveaxis(flat, -1, 0)
+
+    Jd = jnp.stack([
+        jnp.stack([T.materialize(J_rows[i].get(j), zero_like) for j in range(nv)])
+        for i in range(D)
+    ])  # (D, nv, S, L)
+    bd = jnp.stack([T.materialize(x, zero_like) for x in b_vec])  # (D, S, L)
+    vd = jnp.stack([
+        jnp.broadcast_to(v, zero_like.shape) if hasattr(v, "shape") else
+        jnp.full(zero_like.shape, bool(v))
+        for v in valid
+    ])  # (D, S, L) bool
+    Md = jnp.stack([
+        jnp.stack([T.materialize(M[a][c], zero_like) for c in range(nv)])
+        for a in range(nv)
+    ])  # (nv, nv, S, L)
+    vsd = jnp.stack([T.materialize(x, zero_like) for x in v_star])  # (nv, S, L)
+
+    J_b = envf(Jd)  # (B, D, nv)
+    b_b = envf(bd)  # (B, D)
+    v_b = envf(vd)  # (B, D) bool
+    M_b = envf(Md)  # (B, nv, nv)
+    vs_b = envf(vsd)  # (B, nv)
+
+    inf = jnp.asarray(jnp.inf, dtype)
+    mu_c = jnp.asarray(np.asarray(mu_row), dtype)  # (D,)
+    fidx_c = jnp.asarray(np.asarray(fidx), jnp.int32)  # (D,)
+    lo_b = jnp.zeros_like(b_b)
+    hi_b = jnp.where(v_b, inf, 0.0)
+    mu_b = jnp.where(v_b, mu_c[None, :], 0.0)
+    cfm_a = jnp.asarray(cfm, dtype)
+
+    pivot_iters = int(model.lcp_pivot_iters)
+    use_f64 = model.lcp_dtype == "f64" and dtype != jnp.float64
+    if use_f64:
+        f64 = jnp.float64
+        J_b, M_b, b_b, lo_b, hi_b, mu_b, cfm_a = (
+            J_b.astype(f64), M_b.astype(f64), b_b.astype(f64),
+            lo_b.astype(f64), hi_b.astype(f64), mu_b.astype(f64),
+            cfm_a.astype(f64),
+        )
+
+    lam = jax.vmap(
+        lambda J_, M_, b_, lo_, hi_, mu_: boxed_lcp_lowrank(
+            J_, M_, cfm_a, b_, lo_, hi_, mu_, fidx_c, iters,
+            passes, None, pivot_iters,
+        )
+    )(J_b, M_b, b_b, lo_b, hi_b, mu_b)
+
+    def dv_of(J_, M_, lam_):
+        L_M = cholesky_small(M_)
+        return cho_solve_small(L_M, J_.T @ lam_)
+
+    dv = jax.vmap(dv_of)(J_b, M_b, lam)
+    if use_f64:
+        dv = dv.astype(dtype)
+    v_new_b = vs_b + dv  # (B, nv)
+
+    vt = jnp.moveaxis(v_new_b, 0, -1).reshape(nv, S_, L_)
+    return [vt[i] for i in range(nv)]
 
 
 def _tile_lcp(J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters, passes, zero_like, barriers=True):

@@ -12,17 +12,22 @@ no matter where in flight the horizon ends. The hold torque is the computed
 gravity compensation at the initial pose (the ball must stay cradled for
 gradients to flow through the arm->cradle->ball contact), and a short
 swing-pulse warm start breaks the hold plateau."""
+import os
 import sys
 
 sys.path.insert(0, ".")
 import jax
 
-# contact-rich trajectory optimization wants f64: BPTT gradients through
-# the launch contact's LCP active set are conditioning-sensitive, and f32 noise stalls the optimizer
-# (the TPU story is the BATCHED fused path - see bench.py; this demo is the
-# reference-style single-trajectory workload)
-jax.config.update("jax_platforms", "cpu")
+# Runs on the DEFAULT backend (TPU under the driver; CPU elsewhere).
+# BPTT gradients through the launch contact's LCP active set are
+# conditioning-sensitive in plain f32, so the simulation runs f32 with the
+# LCP solve + IFT gradient promoted to an f64 precision island
+# (Model.lcp_dtype='f64' — see examples/jumpworm_ilqr.py for measurements).
 jax.config.update("jax_enable_x64", True)
+if jax.default_backend() != "cpu":
+    os.makedirs(".jax_cache/device", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache/device")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 import jax.numpy as jnp
 import optax
 
@@ -35,7 +40,7 @@ G = 9.81
 
 
 def main():
-    m = catapult(dt=2e-3)
+    m = catapult(dt=2e-3).astype(jnp.float32).replace(lcp_dtype="f64")
     q0 = catapult_init_q(m)
     s0 = State(q=q0, v=jnp.zeros(m.nv, q0.dtype), t=jnp.zeros((), q0.dtype))
     # hold = gravity-compensating torque at q0 (keeps the ball cradled)

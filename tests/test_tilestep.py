@@ -31,7 +31,13 @@ S, L = 2, 8
 
 
 def _model():
-    return jump_worm(dt=2e-3, n_links=2)
+    # lcp_pivot_iters=0: per-step parity must compare IDENTICAL solver
+    # algebra, and the tile-traced LCP (_tile_lcp) deliberately omits the
+    # pivot refinement (a data-dependent while_loop has no trace-time tile
+    # form; the hybrid lcp='xla' mode and the vmap path both have it).
+    # Default-config cross-path agreement is gated at trajectory level by
+    # tests/test_drift.py instead.
+    return jump_worm(dt=2e-3, n_links=2).replace(lcp_pivot_iters=0)
 
 
 def _init_q(m):
@@ -104,7 +110,8 @@ class TestTileStepParity:
                 m, State(q=q, v=v, t=jnp.zeros(())), tau)
             lam = _solve_impl(lcp.J, M, jnp.asarray(m.contact_cfm), lcp.b,
                               lcp.lo, lcp.hi, lcp.mu, lcp.fidx,
-                              int(m.contact_iters), 2, None)
+                              int(m.contact_iters), 2, None,
+                              int(m.lcp_pivot_iters))
             return _nat_residual(lam, lcp.A, lcp.b, lcp.lo, lcp.hi, lcp.mu, lcp.fidx)
 
         res_fn = jax.jit(jax.vmap(env_residual))
@@ -154,7 +161,9 @@ class TestTileStepParity:
         from diffdart_tpu.math.lie import quat_normalize
         from diffdart_tpu.models import cube_drop
 
-        m = cube_drop(dt=2e-3, half=0.1, friction=0.5, restitution=0.0)
+        # pivot off for the same reason as _model(): identical solver algebra
+        m = cube_drop(dt=2e-3, half=0.1, friction=0.5, restitution=0.0).replace(
+            lcp_pivot_iters=0)
         rng = np.random.RandomState(0)
         qs = []
         for _ in range(B):
