@@ -10,7 +10,8 @@ as dense batched matmuls on the MXU).
 Row layout (static):
   [ nc normals | nc tangent-1 | nc tangent-2 | 2*nlim limits |
     nservo servo rows | nfric joint-friction rows |
-    3*nball ball-constraint rows | 6*nweld weld-constraint rows ]
+    3*nball ball-constraint rows | 6*nweld weld-constraint rows |
+    nmimic mimic rows ]
 fidx couples each tangent row to its normal row. Servo rows
 (ServoMotorConstraint parity) drive dof velocity to the commanded target
 within +-force_limit*dt impulse bounds; joint-friction rows
@@ -50,7 +51,9 @@ def static_fidx(model: Model) -> tuple:
     nservo = len(model.servo_dofs)
     nfric = len(model.friction_dofs)
     nbi = 3 * len(model.ball_pairs) + 6 * len(model.weld_pairs)
-    out = [-1] * nc + list(range(nc)) + list(range(nc)) + [-1] * (2 * nlim + nservo + nfric + nbi)
+    nmimic = len(model.mimic_pairs)
+    out = [-1] * nc + list(range(nc)) + list(range(nc)) + [-1] * (
+        2 * nlim + nservo + nfric + nbi + nmimic)
     return tuple(out)
 
 
@@ -110,7 +113,8 @@ def assemble_constraints(
     nfric = len(model.friction_dofs)
     nball = len(model.ball_pairs)
     nweld = len(model.weld_pairs)
-    D = 3 * nc + 2 * nlim + nservo + nfric + 3 * nball + 6 * nweld
+    nmimic = len(model.mimic_pairs)
+    D = 3 * nc + 2 * nlim + nservo + nfric + 3 * nball + 6 * nweld + nmimic
 
     rows = []
     # world row for mask lookup: body -1 -> zero mask
@@ -177,6 +181,14 @@ def assemble_constraints(
             # orientation error: E = R_a rel R_b^T should be identity
             E_rot = Ra_ @ model.weld_rel_rot[k] @ Rb_.T
             weld_ang_errs.append(log_so3(E_rot))
+    # mimic rows (URDF <mimic> / Joint::setMimicJoint parity): one bilateral
+    # row per coupling, J = e_dof - mult * e_src
+    if nmimic:
+        md = np.array([p[0] for p in model.mimic_pairs])
+        ms = np.array([p[1] for p in model.mimic_pairs])
+        e_d = jnp.zeros((nmimic, model.nv), dtype).at[jnp.arange(nmimic), md].set(1.0)
+        e_s = jnp.zeros((nmimic, model.nv), dtype).at[jnp.arange(nmimic), ms].set(1.0)
+        rows += [e_d - model.mimic_mult[:, None] * e_s]
     J = jnp.concatenate(rows, axis=0) if rows else jnp.zeros((0, model.nv), dtype)
 
     A = J @ Minv @ J.T
@@ -265,6 +277,21 @@ def assemble_constraints(
         mu_parts += [jnp.zeros((nbi,), dtype)]
         fidx_parts += [jnp.full((nbi,), -1, jnp.int32)]
         valid_parts += [jnp.ones((nbi,), bool)]
+    if nmimic:
+        md = jnp.asarray(np.array([p[0] for p in model.mimic_pairs]), jnp.int32)
+        ms = jnp.asarray(np.array([p[1] for p in model.mimic_pairs]), jnp.int32)
+        start = 3 * nc + 2 * nlim + nservo + nfric + 3 * nball + 6 * nweld
+        Jmi = J[start : start + nmimic]
+        # position error q_d - mult*q_s - offset, corrected at erp-rate with
+        # the same velocity cap as the other stabilized rows
+        err = qt[md] - model.mimic_mult * qt[ms] - model.mimic_offset
+        corr = jnp.clip(model.baumgarte_erp * err / dt, -erp_vel_cap, erp_vel_cap)
+        b_parts += [Jmi @ v_star + corr]
+        lo_parts += [jnp.full((nmimic,), -jnp.inf, dtype)]
+        hi_parts += [jnp.full((nmimic,), jnp.inf, dtype)]
+        mu_parts += [jnp.zeros((nmimic,), dtype)]
+        fidx_parts += [jnp.full((nmimic,), -1, jnp.int32)]
+        valid_parts += [jnp.ones((nmimic,), bool)]
 
     b = jnp.concatenate(b_parts) if b_parts else jnp.zeros((0,), dtype)
     lo = jnp.concatenate(lo_parts) if lo_parts else jnp.zeros((0,), dtype)

@@ -2,7 +2,8 @@
 
 Capability parity with utils::DartLoader::parseSkeleton (dart/utils/urdf/
 DartLoader.cpp — SURVEY.md §3.5): links/joints/inertials/collision shapes/
-mimic-free subset, no ROS deps (plain xml.etree). URDF conventions: the
+mimic joints (<mimic> -> bilateral LCP coupling rows, Joint::setMimicJoint
+parity), no ROS deps (plain xml.etree). URDF conventions: the
 joint <origin> is the transform from the parent link frame to the joint
 frame, and the child link frame coincides with the joint frame — exactly
 this framework's Model convention, so the mapping is direct.
@@ -129,6 +130,14 @@ def parse_urdf(path_or_str: str, mesh_dir: str | None = None, density: float = 1
             hi = float(lim.get("upper", 1e9))
         dyn = j.find("dynamics")
         damping = float(dyn.get("damping", 0)) if dyn is not None else 0.0
+        mimic_el = j.find("mimic")
+        mimic = None
+        if mimic_el is not None:
+            mimic = dict(
+                joint=mimic_el.get("joint"),
+                multiplier=float(mimic_el.get("multiplier", 1.0)),
+                offset=float(mimic_el.get("offset", 0.0)),
+            )
         joints.append(
             dict(
                 name=j.get("name"),
@@ -136,6 +145,7 @@ def parse_urdf(path_or_str: str, mesh_dir: str | None = None, density: float = 1
                 parent=j.find("parent").get("link"),
                 child=j.find("child").get("link"),
                 R=R, p=p, axis=axis, lo=lo, hi=hi, damping=damping,
+                mimic=mimic,
             )
         )
     return dict(name=root.get("name", "robot"), links=links, joints=joints)
@@ -264,4 +274,17 @@ def load_urdf_into_builder(
 
     root_idx = add_link(roots[0], -1, root_joint, np.eye(3), np.zeros(3),
                         np.array([0.0, 0, 1]), -1e9, 1e9, 0.0, "root")
+
+    # mimic couplings (<mimic joint=... multiplier=... offset=.../> —
+    # DartLoader::createDartJoint + Joint::setMimicJoint parity): each
+    # joint's dof is the dof of its CHILD link's body.
+    jbody = {j["name"]: body_idx[j["child"]] for j in joints}
+    for j in joints:
+        mi = j.get("mimic")
+        if mi is None:
+            continue
+        if mi["joint"] not in jbody:
+            raise ValueError(f"mimic references unknown joint {mi['joint']!r}")
+        builder.add_mimic(jbody[j["name"]], jbody[mi["joint"]],
+                          multiplier=mi["multiplier"], offset=mi["offset"])
     return root_idx

