@@ -142,8 +142,11 @@ class Model:
     # single-flip principal-pivoting refinement budget after the polish
     # (ops/lcp_pivot.py): closes the policy-iteration chain's spurious fixed
     # points on redundant contact sets (Dantzig-grade robustness); the
-    # while_loop exits immediately for lanes the polish already converged.
-    # 0 disables.
+    # while_loop exits immediately when the polish already converged.
+    # Applies to F64 SOLVES ONLY (plain f64 state, or the lcp_dtype='f64'
+    # island): in f32 the Woodbury solve floor (~eps/cfm ~ 0.04 at the
+    # default cfm) sits above the stall signal, and refinement is a measured
+    # no-op — f32 solves skip it and keep full throughput. 0 disables.
     lcp_pivot_iters: int = struct.field(pytree_node=False, default=16)
     contact_cfm: float = struct.field(pytree_node=False, default=1e-6)
     # LCP solve precision island: "state" solves in the state dtype; "f64"

@@ -117,7 +117,14 @@ def _solve_impl(J, M, cfm, b, lo, hi, mu, fidx, iters, passes, fidx_pallas,
         else:
             lam = _jacobi(A, b, lo, hi, mu, fidx, iters)
         lam = _polish_lowrank(lam, J, L_M, cfm, A, b, lo, hi, mu, fidx, passes)
-        if pivot_iters:
+        # pivot refinement only where it can work: the flip decisions need
+        # residuals resolvable below the stall signal, and the Woodbury solve
+        # floor is ~eps/cfm — at the default cfm=1e-6 that is ~0.04 in f32
+        # (measured on TPU: refinement left the capsule-flat residual
+        # bit-identical in f32, while the f64 island reached 4e-5). f32
+        # callers wanting Dantzig-grade robustness use Model.lcp_dtype='f64',
+        # which routes this solve through f64 and re-enables the pivot.
+        if pivot_iters and b.dtype == jnp.float64:
             from diffdart_tpu.ops.lcp_pivot import pivot_refine
 
             lam = pivot_refine(

@@ -133,9 +133,15 @@ def pivot_refine(lam, J, L_M, cfm, A, b, lo, hi, mu, fidx, iters=16,
     best = lam
     best_res = _nat_residual(lam, A, b, lo, hi, mu, fidx)
 
+    # zero-budget the search for lanes the polish already solved: under vmap
+    # the while_loop runs while ANY lane is pending, so an all-healthy batch
+    # (the common case along a trajectory) exits after one cond check
+    # instead of paying the flip/solve body for every lane.
+    budget0 = jnp.where(best_res > tol, iters, 0)
     cls0 = jnp.where(zero_width, LO, _classes_from_lam(lam, A, b, lo, hi, mu, fidx))
     best, best_res = _pivot_from(
-        cls0, best, best_res, J, L_M, cfm, A, b, lo, hi, mu, fidx, zero_width, iters
+        cls0, best, best_res, J, L_M, cfm, A, b, lo, hi, mu, fidx, zero_width,
+        budget0,
     )
 
     # canonical second start, zero-budget for lanes already below tol
