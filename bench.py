@@ -124,19 +124,32 @@ def main():
     try:
         from diffdart_tpu.sim import rollout_checkpointed
 
-        tausH = jnp.zeros((Th, Bh, mh.nv), dtype)
+        # measured-best honest config for the gradient workload: B=1024
+        # amortizes per-step overheads, contact_budget=16 keeps the LCP at
+        # the 16 deepest of the humanoid's 33 static slots (both feet = 16
+        # box corners; semantics gated by tests/test_stack.py) — 37.6k ->
+        # 46.0k steps/s measured on one chip
+        mg = mh.replace(contact_budget=16)
+        Bg = 1024
+        bg = State(
+            q=jnp.tile(humanoid_init_q(mg), (Bg, 1)),
+            v=jnp.zeros((Bg, mg.nv), dtype),
+            t=jnp.zeros(Bg, dtype),
+        )
+        tausH = jnp.zeros((Th, Bg, mg.nv), dtype)
 
         def lossh(taus):
             final = jax.vmap(
-                lambda s, t: rollout_checkpointed(mh, s, t), in_axes=(0, 1)
-            )(bh, taus)
+                lambda s, t: rollout_checkpointed(mg, s, t), in_axes=(0, 1)
+            )(bg, taus)
             return jnp.mean(final.q[:, 2] ** 2) + 1e-4 * jnp.mean(taus**2)
 
         gradh = jax.jit(jax.grad(lossh))
         gradh(tausH).block_until_ready()
         t_ag = _timeit(lambda: gradh(tausH), lambda o: o, iters=3)
-        extra["atlas_fwdgrad_steps_per_sec"] = round(Bh * Th / t_ag)
-        extra["atlas_fwdgrad_vs_50k_target"] = round(Bh * Th / t_ag / 50_000.0, 4)
+        extra["atlas_fwdgrad_steps_per_sec"] = round(Bg * Th / t_ag)
+        extra["atlas_fwdgrad_vs_50k_target"] = round(Bg * Th / t_ag / 50_000.0, 4)
+        extra["atlas_fwdgrad_config"] = "B=1024, contact_budget=16, T=10 BPTT"
     except Exception as e:  # noqa: BLE001
         extra["atlas_fwdgrad_error"] = f"{type(e).__name__}: {e}"[:300]
 

@@ -174,8 +174,41 @@ def _grouped_plan(model: Model):
     return [groups[key] for key in order]
 
 
+def _group_cap(model: Model, kind: str, members) -> int:
+    """Pairs from this group entering narrowphase: all of them, or the AABB
+    broadphase budget (Model.pair_budget) for oversized 'prim' groups."""
+    n = len(members)
+    if kind == "prim" and model.pair_budget and n > model.pair_budget:
+        return model.pair_budget
+    return n
+
+
 def max_contacts(model: Model) -> int:
-    return sum(k * len(members) for (_, _, k, members) in _grouped_plan(model))
+    return sum(
+        k * _group_cap(model, kind, members)
+        for (kind, _, k, members) in _grouped_plan(model)
+    )
+
+
+def _aabb_halfext(model: Model, g: int, Rg):
+    """World-AABB half-extents (3,) of geom g under world rotation Rg —
+    the broadphase bound (conservative, cheap). Static type dispatch."""
+    t = model.geom_type[g]
+    size = model.geom_size[g]
+    if t == _G.SPHERE:
+        return jnp.broadcast_to(size[0], (3,))
+    if t in (_G.BOX, _G.ELLIPSOID):
+        return jnp.abs(Rg) @ size
+    if t in (_G.CAPSULE, _G.CYLINDER):
+        return jnp.abs(Rg[:, 2]) * size[1] + size[0]
+    if t == _G.CONVEX:
+        import numpy as np
+
+        h = model.geom_hull[g]
+        vc = model.hull_vcounts[h]
+        r = float(np.linalg.norm(np.asarray(model.hull_verts)[h][:vc], axis=1).max())
+        return jnp.full((3,), r, model.mass.dtype)
+    raise NotImplementedError(f"no AABB for geom type {t}")
 
 
 def effective_contacts(model: Model) -> int:
@@ -187,7 +220,7 @@ def effective_contacts(model: Model) -> int:
     return nc
 
 
-def select_contacts(model: Model, contacts: Contacts):
+def select_contacts(model: Model, contacts: Contacts, body_a=None, body_b=None):
     """Gather the LCP's contact set + per-slot body indices.
 
     Without a budget: identity (static body indices as arrays). With a budget
@@ -201,9 +234,12 @@ def select_contacts(model: Model, contacts: Contacts):
     import jax
     import numpy as np
 
-    ba, bb = contact_slots(model)
-    ba = jnp.asarray(np.array(ba, np.int32)) if ba else jnp.zeros((0,), jnp.int32)
-    bb = jnp.asarray(np.array(bb, np.int32)) if bb else jnp.zeros((0,), jnp.int32)
+    if body_a is not None and body_b is not None:
+        ba, bb = body_a, body_b  # dynamic slot->body mapping (pair budget)
+    else:
+        sa, sb = contact_slots(model)
+        ba = jnp.asarray(np.array(sa, np.int32)) if sa else jnp.zeros((0,), jnp.int32)
+        bb = jnp.asarray(np.array(sb, np.int32)) if sb else jnp.zeros((0,), jnp.int32)
     K = effective_contacts(model)
     if K == contacts.pos.shape[0]:
         return contacts, ba, bb
@@ -222,7 +258,17 @@ def select_contacts(model: Model, contacts: Contacts):
 
 def contact_slots(model: Model):
     """Static per-slot metadata: (body_a, body_b) tuples of len max_contacts.
-    body_a is the body pushed along +normal."""
+    body_a is the body pushed along +normal. Only meaningful without a
+    runtime AABB pair budget — budgeted slots map to pairs dynamically (use
+    collide_world_with_bodies)."""
+    if model.pair_budget and any(
+        _group_cap(model, kind, members) < len(members)
+        for (kind, _, _, members) in _grouped_plan(model)
+    ):
+        raise ValueError(
+            "contact_slots: slot->body mapping is dynamic under "
+            "Model.pair_budget; use collide_world_with_bodies"
+        )
     body_a, body_b = [], []
     for (_, fn, k, members) in _grouped_plan(model):
         for (ga, gb, swapped) in members:
@@ -247,25 +293,55 @@ def geom_world_poses(model: Model, R_body, p_body):
     return Rs, ps
 
 
-def collide_world(model: Model, R_body, p_body) -> Contacts:
-    """Run every static pair's narrowphase; concatenate into fixed buffers.
+def collide_world_with_bodies(model: Model, R_body, p_body):
+    """Run the static pair plan's narrowphase; concatenate into fixed buffers.
+
+    Returns (Contacts, body_a, body_b) with per-slot body index arrays
+    (int32). Groups larger than Model.pair_budget first pass a runtime AABB
+    broadphase: world-AABB overlap scores for every member, lax.top_k keeps
+    the `pair_budget` most-overlapping pairs, and only those run narrowphase
+    — bounding both narrowphase work and LCP rows at O(budget) in many-geom
+    worlds (the TPU-native replacement for the reference's dynamic
+    broadphase+islands, ConstraintSolver::updateConstraints). Body indices
+    for budgeted groups are gathered at runtime, so slots stay fixed-size.
 
     The swapped flag flips normals so that slot convention is always
     'normal pushes body_a away from body_b'."""
     import jax
+    import numpy as np
 
     Rg, pg = geom_world_poses(model, R_body, p_body)
-    pos_l, n_l, d_l, v_l, fr_l, re_l = [], [], [], [], [], []
+    dtype = model.mass.dtype
+    pos_l, n_l, d_l, v_l, fr_l, re_l, ba_l, bb_l = [], [], [], [], [], [], [], []
     for (kind, fn, k, members) in _grouped_plan(model):
+        cap = _group_cap(model, kind, members)
+        body_a_m = np.array([model.geom_body[ga] for (ga, _, _) in members], np.int32)
+        body_b_m = np.array([model.geom_body[gb] for (_, gb, _) in members], np.int32)
+        fr_m = jnp.stack([
+            jnp.minimum(model.geom_friction[ga], model.geom_friction[gb])
+            for (ga, gb, _) in members
+        ])
+        re_m = jnp.stack([
+            model.geom_restitution[ga] * model.geom_restitution[gb]
+            for (ga, gb, _) in members
+        ])
         if kind == "hull":
             # hull fns close over per-pair buffers; members is a single pair
             (ga, gb, swapped) = members[0]
             pos, n, depth, valid = fn(Rg[ga], pg[ga], Rg[gb], pg[gb])
+            ba = jnp.asarray(np.repeat(body_a_m, k))
+            bb = jnp.asarray(np.repeat(body_b_m, k))
+            fr = jnp.broadcast_to(fr_m[0], (k,))
+            re = jnp.broadcast_to(re_m[0], (k,))
         elif len(members) == 1:
             (ga, gb, swapped) = members[0]
             pos, n, depth, valid = fn(
                 Rg[ga], pg[ga], model.geom_size[ga], Rg[gb], pg[gb], model.geom_size[gb]
             )
+            ba = jnp.asarray(np.repeat(body_a_m, k))
+            bb = jnp.asarray(np.repeat(body_b_m, k))
+            fr = jnp.broadcast_to(fr_m[0], (k,))
+            re = jnp.broadcast_to(re_m[0], (k,))
         else:
             # one vmapped narrowphase call for the whole same-type group
             Ra = jnp.stack([Rg[ga] for (ga, _, _) in members])
@@ -274,30 +350,66 @@ def collide_world(model: Model, R_body, p_body) -> Contacts:
             Rb = jnp.stack([Rg[gb] for (_, gb, _) in members])
             pb = jnp.stack([pg[gb] for (_, gb, _) in members])
             sb = jnp.stack([model.geom_size[gb] for (_, gb, _) in members])
+            ba_m = jnp.asarray(body_a_m)
+            bb_m = jnp.asarray(body_b_m)
+            if cap < len(members):
+                # ---- AABB broadphase: keep the `cap` most-overlapping pairs
+                ha = jnp.stack([_aabb_halfext(model, ga, Rg[ga]) for (ga, _, _) in members])
+                gb0 = members[0][1]
+                if model.geom_type[gb0] == _G.PLANE:
+                    # halfspace overlap along the plane normal (a world-AABB
+                    # cannot bound an infinite plane; project on its normal)
+                    nrm = jnp.stack([Rg[gb][:, 2] for (_, gb, _) in members])
+                    off = jnp.einsum("mk,mk->m", nrm, pb)
+                    score = jnp.einsum("mk,mk->m", ha, jnp.abs(nrm)) - (
+                        jnp.einsum("mk,mk->m", nrm, pa) - off
+                    )
+                else:
+                    hb = jnp.stack([_aabb_halfext(model, gb, Rg[gb]) for (_, gb, _) in members])
+                    score = jnp.min(ha + hb - jnp.abs(pa - pb), axis=-1)
+                _, idx = jax.lax.top_k(jax.lax.stop_gradient(score), cap)
+                Ra, pa, sa = Ra[idx], pa[idx], sa[idx]
+                Rb, pb, sb = Rb[idx], pb[idx], sb[idx]
+                ba_m, bb_m = ba_m[idx], bb_m[idx]
+                fr_m, re_m = fr_m[idx], re_m[idx]
             pos, n, depth, valid = jax.vmap(fn)(Ra, pa, sa, Rb, pb, sb)
             pos = pos.reshape(-1, 3)
             n = n.reshape(-1, 3)
             depth = depth.reshape(-1)
             valid = valid.reshape(-1)
+            ba = jnp.repeat(ba_m, k)
+            bb = jnp.repeat(bb_m, k)
+            fr = jnp.repeat(fr_m, k)
+            re = jnp.repeat(re_m, k)
         pos_l.append(pos)
         n_l.append(n)
         d_l.append(depth)
         v_l.append(valid)
         # combine: friction = min (ContactConstraint parity), restitution = product
-        for (ga, gb, swapped) in members:
-            fr = jnp.minimum(model.geom_friction[ga], model.geom_friction[gb])
-            re = model.geom_restitution[ga] * model.geom_restitution[gb]
-            fr_l.append(jnp.broadcast_to(fr, (k,)))
-            re_l.append(jnp.broadcast_to(re, (k,)))
+        fr_l.append(fr)
+        re_l.append(re)
+        ba_l.append(ba)
+        bb_l.append(bb)
     if not pos_l:
-        z3 = jnp.zeros((0, 3), model.mass.dtype)
-        z = jnp.zeros((0,), model.mass.dtype)
-        return Contacts(z3, z3, z, jnp.zeros((0,), bool), z, z)
-    return Contacts(
-        pos=jnp.concatenate(pos_l),
-        normal=jnp.concatenate(n_l),
-        depth=jnp.concatenate(d_l),
-        valid=jnp.concatenate(v_l),
-        friction=jnp.concatenate(fr_l),
-        restitution=jnp.concatenate(re_l),
+        z3 = jnp.zeros((0, 3), dtype)
+        z = jnp.zeros((0,), dtype)
+        zi = jnp.zeros((0,), jnp.int32)
+        return Contacts(z3, z3, z, jnp.zeros((0,), bool), z, z), zi, zi
+    return (
+        Contacts(
+            pos=jnp.concatenate(pos_l),
+            normal=jnp.concatenate(n_l),
+            depth=jnp.concatenate(d_l),
+            valid=jnp.concatenate(v_l),
+            friction=jnp.concatenate(fr_l),
+            restitution=jnp.concatenate(re_l),
+        ),
+        jnp.concatenate(ba_l),
+        jnp.concatenate(bb_l),
     )
+
+
+def collide_world(model: Model, R_body, p_body) -> Contacts:
+    """Contacts-only view of collide_world_with_bodies (body indices for the
+    unbudgeted plan are also available statically via contact_slots)."""
+    return collide_world_with_bodies(model, R_body, p_body)[0]

@@ -138,6 +138,15 @@ class Model:
     # (an n-cube stack has O(n^2) pairs x 8 slots, mostly inactive): the LCP
     # stays at K rows instead of growing with the pair count.
     contact_budget: int = struct.field(pytree_node=False, default=0)
+    # runtime AABB broadphase (the TPU-native replacement for the reference's
+    # dynamic broadphase+islands, ConstraintSolver::updateConstraints): cap
+    # each same-type narrowphase GROUP at this many pairs, selected per step
+    # by world-AABB overlap score (lax.top_k). Bounds narrowphase AND LCP
+    # size at O(budget) for many-geom worlds whose O(pairs) static plan would
+    # otherwise all run. 0 = run every static pair (default; right for small
+    # scenes). Selection changes are active-set-style discontinuities, same
+    # nature as contact making/breaking.
+    pair_budget: int = struct.field(pytree_node=False, default=0)
     lcp_polish: bool = struct.field(pytree_node=False, default=True)
     # single-flip principal-pivoting refinement budget after the polish
     # (ops/lcp_pivot.py): closes the policy-iteration chain's spurious fixed

@@ -19,7 +19,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from diffdart_tpu.collision import collide_world
 from diffdart_tpu.constraints.assembly import assemble_constraints, static_fidx
 from diffdart_tpu.dynamics import dynamics as D
 from diffdart_tpu.dynamics.model import Model, State
@@ -41,11 +40,13 @@ def _pre(model: Model, state: State, tau):
     L = cholesky_small(M)
     Minv = cho_solve_small(L, jnp.eye(model.nv, dtype=dtype))
     v_star = v + dt * (Minv @ (tau + f_joint - C))
-    contacts = collide_world(model, cache["R"], cache["p"])
+    from diffdart_tpu.collision.collide import collide_world_with_bodies
+
+    contacts, ba, bb = collide_world_with_bodies(model, cache["R"], cache["p"])
     qt = D.q_tangent(model, q)
     lcp = assemble_constraints(
         model, contacts, cache["Sw"], cache["mask"], Minv, v_star, v, qt, dt,
-        R_body=cache["R"], p_body=cache["p"],
+        R_body=cache["R"], p_body=cache["p"], body_a=ba, body_b=bb,
     )
     return lcp, M, L, Minv, v_star
 

@@ -11,7 +11,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from diffdart_tpu.collision import collide_world
 from diffdart_tpu.constraints.assembly import assemble_constraints
 from diffdart_tpu.dynamics import dynamics as D
 from diffdart_tpu.dynamics.model import Model, State
@@ -42,10 +41,10 @@ def prepare_constrained(model: Model, state: State, tau=None):
     # unconstrained end-of-step velocity
     v_star = v + dt * (Minv @ (tau + f_joint - C))
 
-    contacts = collide_world(model, cache["R"], cache["p"])
-    from diffdart_tpu.collision.collide import select_contacts
+    from diffdart_tpu.collision.collide import collide_world_with_bodies, select_contacts
 
-    contacts, body_a, body_b = select_contacts(model, contacts)
+    contacts, ba, bb = collide_world_with_bodies(model, cache["R"], cache["p"])
+    contacts, body_a, body_b = select_contacts(model, contacts, ba, bb)
     qt = D.q_tangent(model, q)
     lcp = assemble_constraints(
         model, contacts, cache["Sw"], cache["mask"], Minv, v_star, v, qt, dt,

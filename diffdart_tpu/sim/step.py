@@ -43,7 +43,8 @@ def step(model: Model, state: State, tau=None) -> State:
     unconstrained step when the model has no collision pairs or limits)."""
     has_limits = model.enable_joint_limits and model.has_joint_limits
     has_actuation_rows = bool(model.servo_dofs) or bool(model.friction_dofs)
-    has_bilateral = bool(model.ball_pairs) or bool(model.weld_pairs)
+    has_bilateral = (bool(model.ball_pairs) or bool(model.weld_pairs)
+                     or bool(model.mimic_pairs))
     if not model.col_pairs and not has_limits and not has_actuation_rows and not has_bilateral:
         return step_unconstrained(model, state, tau)
     from diffdart_tpu.sim.constrained import step_constrained

@@ -23,6 +23,17 @@ D~141 LCP rows) run the HYBRID lcp='xla' mode: fused tile dynamics/FK/
 assembly, with the rows materialized into batched dense arrays and solved
 by the canonical vmapped lowrank chain (see build_tile_step).
 
+Measured practical ceiling of the tile trace: the scalar-expression count
+grows as O(nb * nv^2) (FK composition + CRBA + unrolled Cholesky), and at
+the 25-body / nv=30 humanoid the PYTHON TRACE alone exceeds 25 minutes —
+the hybrid is parity-tested at that scale
+(tests/test_tilestep_hybrid.py::TestHumanoidHybrid, DIFFDART_SLOW_TESTS
+gate) but is not a practical production path there; the batched vmap step
+(98k fwd / 46k fwd+grad steps/s on one chip with contact_budget=16) is the
+humanoid's production path. The hybrid's sweet spot is locomotion-scale
+trees whose D exceeds the 'tile' LCP's O(D^2) trace budget but whose nv
+keeps the dynamics trace tractable (nv <~ 15).
+
 Solver-fidelity scope: the fully-traced tile LCP (_tile_lcp, lcp='tile')
 runs the Jacobi + Woodbury-polish chain WITHOUT the single-flip pivot
 refinement of ops/lcp_pivot.py — a data-dependent while_loop has no
@@ -167,6 +178,8 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
             "tile step: servo/joint-friction/bilateral/mimic rows not supported yet")
     if int(getattr(model, "contact_budget", 0) or 0):
         raise TileStepUnsupported("tile step: contact-budget top-K selection not supported yet")
+    if int(getattr(model, "pair_budget", 0) or 0):
+        raise TileStepUnsupported("tile step: AABB pair-budget broadphase not supported yet")
 
     # v-index -> q-index map (identity for scalar joints; None for quaternion
     # dofs, where springs/limits are unsupported in the tiled subset)
@@ -186,6 +199,16 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
                 raise TileStepUnsupported("tile step: joint limits on quaternion dofs not supported")
 
     # ---- static collision plan: (body, geom consts) per pair, plane side const
+    # Materialize numpy copies of the geom leaves BEFORE indexing: indexing a
+    # concrete jnp array under an active jit trace (e.g. rollout_tiled called
+    # inside jax.jit(jax.grad(...))) stages a traced slice, which then fails
+    # np.asarray. Whole-array np.asarray of a concrete closure constant is
+    # always safe.
+    g_rot = np.asarray(model.geom_rot, float)
+    g_pos = np.asarray(model.geom_pos, float)
+    g_size = np.asarray(model.geom_size, float)
+    g_fric = np.asarray(model.geom_friction, float)
+    g_rest = np.asarray(model.geom_restitution, float)
     plan = []
     gt = model.geom_type
     _vs_plane = (GeomType.CAPSULE, GeomType.SPHERE, GeomType.BOX, GeomType.CONVEX)
@@ -199,16 +222,16 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
             raise TileStepUnsupported(f"tile step: pair types ({ta},{tb}) not supported yet")
         if model.geom_body[pl] >= 0:
             raise TileStepUnsupported("tile step: moving plane not supported")
-        n_w = np.asarray(model.geom_rot[pl], float)[:, 2]
-        p_pl = np.asarray(model.geom_pos[pl], float)
-        fr = float(min(model.geom_friction[g], model.geom_friction[pl]))
-        rest = float(model.geom_restitution[g] * model.geom_restitution[pl])
+        n_w = g_rot[pl][:, 2]
+        p_pl = g_pos[pl]
+        fr = float(min(g_fric[g], g_fric[pl]))
+        rest = float(g_rest[g] * g_rest[pl])
         entry = dict(
             body=int(model.geom_body[g]),
             gtype=int(gt[g]),
-            size=np.asarray(model.geom_size[g], float),
-            grot=np.asarray(model.geom_rot[g], float),
-            gpos=np.asarray(model.geom_pos[g], float),
+            size=g_size[g],
+            grot=g_rot[g],
+            gpos=g_pos[g],
             n=n_w,
             p_pl=p_pl,
             friction=fr,
@@ -218,7 +241,7 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
             # real (unpadded) hull vertices, geom-local, as trace constants
             h = model.geom_hull[g]
             vc = int(model.hull_vcounts[h])
-            entry["verts"] = np.asarray(model.hull_verts[h], float)[:vc]
+            entry["verts"] = np.asarray(model.hull_verts, float)[h][:vc]
         plan.append(entry)
     # slots per pair: box 8 (all corners), capsule 2, sphere 1, convex hull 4
     # (k deepest vertices) — must match collide._DISPATCH /

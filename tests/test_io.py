@@ -337,3 +337,24 @@ class TestURDFMimic:
         # converges to the coupling manifold (starts off it: q=0 vs offset)
         err = np.abs(q[-1, 1] - (0.5 * q[-1, 0] + 0.01))
         assert err < 1e-3, err
+
+    def test_mimic_only_model_takes_constrained_path(self):
+        """A model whose ONLY constraint rows are mimic couplings (no
+        contacts, no limits) must still route through the constrained step —
+        regression for the step() dispatch guard."""
+        from diffdart_tpu.dynamics.model import make_state
+        from diffdart_tpu.sim import rollout
+
+        b = ModelBuilder(dt=2e-3, gravity=(0.0, 0.0, 0.0))
+        j0 = b.add_body(parent=-1, jtype=JointType.REVOLUTE, mass=0.5,
+                        axis=(0, 0, 1))
+        j1 = b.add_body(parent=-1, jtype=JointType.REVOLUTE, mass=0.5,
+                        axis=(0, 0, 1), X_pos=(0.3, 0, 0))
+        b.add_mimic(j1, j0, multiplier=-1.0)
+        m = b.finalize()
+        s = make_state(m)
+        taus = jnp.zeros((100, m.nv), m.mass.dtype).at[:, 0].set(0.2)
+        final, traj = jax.jit(rollout)(m, s, taus)
+        q = np.asarray(traj.q)
+        assert abs(q[-1, 0]) > 1e-3  # the driven joint moved
+        np.testing.assert_allclose(q[:, 1], -q[:, 0], atol=1e-3)
