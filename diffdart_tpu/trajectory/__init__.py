@@ -4,3 +4,4 @@ from diffdart_tpu.trajectory.shooting import (  # noqa: F401
     single_shooting,
     ShootingResult,
 )
+from diffdart_tpu.trajectory.nlp import solve_slsqp, NLPInfo  # noqa: F401

@@ -74,3 +74,18 @@ if os.environ.get("DIFFDART_WARM_CACHE") == "1":
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 else:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10**9)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: tests marked `slow` (exhaustive variants whose
+    semantics are already gated by a faster test) run only with
+    DIFFDART_SLOW_TESTS=1 — the same opt-in that ungates the humanoid
+    hybrid parity test."""
+    if os.environ.get("DIFFDART_SLOW_TESTS"):
+        return
+    import pytest as _pytest
+
+    skip = _pytest.mark.skip(reason="slow tier; set DIFFDART_SLOW_TESTS=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -55,16 +55,20 @@ class TestPairBudget:
     def test_budgeted_matches_full_when_sparse(self):
         """Spheres spread out so at most 2-3 pairs are ever near: a budget of
         6 must cull only pairs that produce no contacts, leaving the
-        trajectory identical to the full O(n^2) plan."""
-        n = 8
+        trajectory identical to the full O(n^2) plan. (n kept small: this
+        compiles two full rollouts; n=6 already gives 15 sphere-sphere
+        pairs vs the 6-pair budget.)"""
+        n = 6
         m_full = _sphere_field(n)
         m_bud = _sphere_field(n, budget=6)
         q0 = _grid_q(m_full, n, spacing=1.0)
+        # pull sphere 1 near sphere 0 and launch them at each other so a
+        # real sphere-sphere contact forms mid-trajectory (gap 0.15 m,
+        # closing speed 1.6 m/s -> impact ~50 steps in)
+        q0 = q0.at[7 + 4].set(0.35)
         v0 = jnp.zeros(m_full.nv, m_full.mass.dtype)
-        # nudge two spheres toward each other so a real sphere-sphere
-        # contact forms mid-trajectory
-        v0 = v0.at[3].set(0.8).at[9 + 3].set(-0.8)
-        T = 150
+        v0 = v0.at[3].set(0.8).at[6 + 3].set(-0.8)
+        T = 100
         s_full = make_state(m_full, q=q0, v=v0)
         s_bud = make_state(m_bud, q=q0, v=v0)
         taus = jnp.zeros((T, m_full.nv), m_full.mass.dtype)
@@ -87,14 +91,14 @@ class TestPairBudget:
             contact_slots(m)
 
     def test_gradients_flow_through_budgeted_collision(self):
-        n = 6
-        m = _sphere_field(n, budget=5)
+        n = 5
+        m = _sphere_field(n, budget=4)
         q0 = _grid_q(m, n, spacing=1.0)
 
         def loss(vx):
             v = jnp.zeros(m.nv, m.mass.dtype).at[3].set(vx)
             s = make_state(m, q=q0, v=v)
-            final, _ = rollout(m, s, jnp.zeros((80, m.nv), m.mass.dtype))
+            final, _ = rollout(m, s, jnp.zeros((60, m.nv), m.mass.dtype))
             return final.q[4]  # x of the pushed sphere (friction-limited)
 
         g = jax.jit(jax.grad(loss))(jnp.asarray(1.0, m.mass.dtype))

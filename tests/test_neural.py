@@ -21,9 +21,17 @@ def fd_jacobians(model, state, tau, eps=1e-6):
     base = step(model, state, tau)
     nv = model.nv
 
-    def stepped(q_, v_, tau_):
+    # jit the probe: each FD column evaluates the full contact step, and the
+    # eager (op-by-op) dispatch of the LCP pipeline dominated this file's
+    # wall time (~10x) with identical numbers
+    @jax.jit
+    def _stepped(q_, v_, tau_):
         s = step(model, State(q=q_, v=v_, t=jnp.zeros(())), tau_)
-        return np.asarray(D.position_difference(model, base.q, s.q)), np.asarray(s.v)
+        return D.position_difference(model, base.q, s.q), s.v
+
+    def stepped(q_, v_, tau_):
+        dq, v2 = _stepped(q_, v_, tau_)
+        return np.asarray(dq), np.asarray(v2)
 
     def col(fn):
         cols_p, cols_v = [], []
@@ -88,11 +96,16 @@ class TestWithContact:
         s = make_state(m, q=m.neutral_q().at[6].set(0.09995))
         J = timestep_jacobians(m, s, jnp.zeros(6))
         eps = 1e-6
-        base = step(m, s, jnp.zeros(6))
+
+        @jax.jit
+        def v_of_mass(mass):
+            return step(m.replace(mass=mass), s, jnp.zeros(6)).v
+
         for b in range(m.nbody):
-            mp = m.replace(mass=m.mass.at[b].add(eps))
-            mm_ = m.replace(mass=m.mass.at[b].add(-eps))
-            fd = (np.asarray(step(mp, s, jnp.zeros(6)).v) - np.asarray(step(mm_, s, jnp.zeros(6)).v)) / (2 * eps)
+            fd = (
+                np.asarray(v_of_mass(m.mass.at[b].add(eps)))
+                - np.asarray(v_of_mass(m.mass.at[b].add(-eps)))
+            ) / (2 * eps)
             np.testing.assert_allclose(np.asarray(J.mass_vel[b]), fd, atol=1e-5)
 
 

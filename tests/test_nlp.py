@@ -1,0 +1,80 @@
+"""Host NLP trajectory driver (trajectory/nlp.py — IPOptOptimizer role, r2
+VERDICT missing #6): hard bounds + exact defect constraints via SLSQP with
+JAX-supplied value/gradient/Jacobian."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffdart_tpu.dynamics.model import State
+from diffdart_tpu.models import cartpole
+from diffdart_tpu.sim import step
+from diffdart_tpu.trajectory import MultipleShooting, solve_slsqp
+
+
+def _problem():
+    m = cartpole(dt=0.02)
+    nx, nu = m.nq + m.nv, 1
+
+    def f(x, u):
+        s = State(q=x[: m.nq], v=x[m.nq :], t=jnp.zeros((), x.dtype))
+        tau = jnp.zeros(m.nv, x.dtype).at[0].set(u[0])  # cart force only
+        s2 = step(m, s, tau)
+        return jnp.concatenate([s2.q, s2.v])
+
+    def rc(x, u, t):
+        return 1e-3 * jnp.sum(u**2)
+
+    def tc(x):
+        # bring the pole near upright (q[1] -> pi) with small velocity
+        return 10.0 * (x[1] - jnp.pi) ** 2 + 0.1 * jnp.sum(x[2:] ** 2) + x[0] ** 2
+
+    T, S = 40, 10
+    ms = MultipleShooting(f, rc, tc, T=T, segment_len=S, nx=nx, nu=nu)
+    x0 = jnp.zeros(nx)
+    return m, ms, x0
+
+
+class TestSLSQP:
+    def test_hard_bounds_and_exact_defects(self):
+        m, ms, x0 = _problem()
+        us0 = jnp.zeros((ms.T, ms.nu), x0.dtype)
+        U = 8.0
+        calls = []
+        res, info = solve_slsqp(
+            ms, x0, us0, u_lo=-U, u_hi=U, max_iter=60,
+            intermediate_callback=lambda it, xs, us, c: calls.append(float(c)),
+        )
+        # hard bounds are HARD: no control exceeds the box anywhere
+        assert float(jnp.max(jnp.abs(res.us))) <= U + 1e-9
+        # defects are solved as equality constraints, not penalties
+        assert info.constraint_violation < 1e-5, info
+        # the optimizer made real progress on the swing-up objective
+        base_cost = 10.0 * np.pi**2  # hanging pole, zero controls
+        assert float(res.cost) < 0.5 * base_cost, (float(res.cost), base_cost)
+        # intermediate callback streamed per major iteration
+        assert len(calls) >= 3
+        assert info.n_iter >= 3
+
+    def test_unconstrained_single_segment(self):
+        """K=1 degenerates to a bound-constrained control NLP (no eq rows)."""
+        m, _, _ = _problem()
+        nx, nu = m.nq + m.nv, 1
+
+        def f(x, u):
+            s = State(q=x[: m.nq], v=x[m.nq :], t=jnp.zeros((), x.dtype))
+            tau = jnp.zeros(m.nv, x.dtype).at[0].set(u[0])
+            s2 = step(m, s, tau)
+            return jnp.concatenate([s2.q, s2.v])
+
+        ms = MultipleShooting(
+            f, lambda x, u, t: 1e-3 * jnp.sum(u**2),
+            lambda x: jnp.sum(x[: m.nq] ** 2) + 10.0 * (x[0] - 0.3) ** 2,
+            T=15, segment_len=15, nx=nx, nu=nu,
+        )
+        x0 = jnp.zeros(nx)
+        res, info = solve_slsqp(ms, x0, jnp.zeros((15, 1), x0.dtype),
+                                u_lo=-5.0, u_hi=5.0, max_iter=40)
+        assert info.constraint_violation == 0.0
+        assert float(jnp.max(jnp.abs(res.us))) <= 5.0 + 1e-9
+        # cart driven toward 0.3
+        assert abs(float(res.xs[-1, 0]) - 0.3) < 0.25

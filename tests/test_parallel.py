@@ -120,17 +120,29 @@ def test_replicated_grad_is_mean_of_per_device_grads(cheetah_batch):
     np.testing.assert_allclose(np.asarray(grad), np.asarray(manual), rtol=1e-7, atol=1e-10)
 
 
-def test_dryrun_multichip_inprocess():
-    """The driver entry point must succeed from an already-initialised process."""
-    import importlib.util, pathlib
+def test_dryrun_multichip_inprocess_and_device_fenced(monkeypatch):
+    """The driver entry point must succeed from an already-initialised
+    process, AND its in-process fast path must wrap _dryrun_impl in
+    jax.default_device(cpu) so default-device array creation can never land
+    on a non-CPU backend (the exact round-2 failure). One execution checks
+    both — the dryrun compiles the full sharded train step, so running it
+    twice doubled this file's wall time for no extra coverage."""
+    mod = _load_graft_entry()
+    seen = {}
+    real_impl = mod._dryrun_impl
 
-    spec = importlib.util.spec_from_file_location(
-        "_graft_entry_test",
-        pathlib.Path(__file__).resolve().parent.parent / "__graft_entry__.py",
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
+    def spy(n, devices):
+        import jax as _jax
+
+        seen["default_device"] = _jax.config.jax_default_device
+        seen["devices"] = list(devices)
+        return real_impl(n, devices)
+
+    monkeypatch.setattr(mod, "_dryrun_impl", spy)
     mod.dryrun_multichip(N_DEV)  # raises on failure
+    assert seen["default_device"] is not None
+    assert seen["default_device"].platform == "cpu"
+    assert all(d.platform == "cpu" for d in seen["devices"])
 
 
 def _load_graft_entry():
@@ -185,24 +197,3 @@ def test_dryrun_subprocesses_unless_default_backend_is_cpu(monkeypatch):
     assert f"--xla_force_host_platform_device_count={N_DEV}" in env["XLA_FLAGS"]
 
 
-def test_dryrun_inprocess_branch_is_device_fenced(monkeypatch):
-    """The in-process fast path must wrap _dryrun_impl in
-    jax.default_device(cpu) so default-device array creation can never land
-    on a non-CPU backend (the exact round-2 failure)."""
-    mod = _load_graft_entry()
-    seen = {}
-    real_impl = mod._dryrun_impl
-
-    def spy(n, devices):
-        import jax as _jax
-
-        cfg_dev = _jax.config.jax_default_device
-        seen["default_device"] = cfg_dev
-        seen["devices"] = list(devices)
-        return real_impl(n, devices)
-
-    monkeypatch.setattr(mod, "_dryrun_impl", spy)
-    mod.dryrun_multichip(N_DEV)
-    assert seen["default_device"] is not None
-    assert seen["default_device"].platform == "cpu"
-    assert all(d.platform == "cpu" for d in seen["devices"])
