@@ -170,6 +170,28 @@ def main():
     except Exception as e:  # noqa: BLE001
         extra["atlas_jacobians_error"] = f"{type(e).__name__}: {e}"[:300]
 
+    # parameter-gradient (WithRespectTo) throughput: grad of a rollout loss
+    # wrt MODEL parameters (mass) — runs on the vmap path by design
+    # (rollout_fast's dispatch: the fused path bakes params as constants)
+    try:
+        Bp, Tp = 256, 10
+        bp = State(q=qs[:Bp], v=vs[:Bp], t=jnp.zeros(Bp, dtype))
+        tausP = taus[:Tp, :Bp]
+
+        def loss_mass(mass):
+            mp = m.replace(mass=mass)
+            final = jax.vmap(
+                lambda s, t: rollout_checkpointed(mp, s, t), in_axes=(0, 1)
+            )(bp, tausP)
+            return jnp.mean(final.q[:, 1] ** 2)
+
+        gmass = jax.jit(jax.grad(loss_mass))
+        gmass(m.mass).block_until_ready()
+        t_pg = _timeit(lambda: gmass(m.mass), lambda o: o, iters=3)
+        extra["cheetah_paramgrad_steps_per_sec"] = round(Bp * Tp / t_pg)
+    except Exception as e:  # noqa: BLE001
+        extra["paramgrad_error"] = f"{type(e).__name__}: {e}"[:300]
+
     extra["fwd_env_steps_per_sec"] = round(sps_fwd)
     result = {
         "metric": "halfcheetah env-steps/sec/chip (fwd+grad, B=4096)",

@@ -56,7 +56,15 @@ class RealTimeControlBuffer:
 class MPC:
     """Receding-horizon controller over the differentiable step.
 
-    f, running_cost, terminal_cost follow trajectory.ilqr conventions.
+    f, running_cost, terminal_cost follow trajectory.ilqr conventions —
+    including ilqr's soundness scope: x must be an AMBIENT-vector state
+    (scalar-joint models, or a tangent-space wrapper around quaternion
+    states). For free-floating bases, wrap f so its state is a tangent
+    increment (neural/mappings or dynamics.position_difference/
+    integrate_positions) before handing it here; ilqr's ambient-q
+    linearization is not valid on raw quaternion coordinates
+    (trajectory/ilqr.py header).
+
     Call `solve(x, t)` each control period (or use `run` with a Ticker)."""
 
     def __init__(

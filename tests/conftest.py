@@ -63,17 +63,21 @@ _cache = os.path.join(
 )
 os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
-# Cache READS are always on; WRITES only during explicit warming
-# (scripts/warm_test_cache.sh). Serializing large executables to the
-# persistent cache segfaults XLA:CPU once enough compilation state has
-# accumulated in one process (observed r1 and r2: crash inside
-# compilation_cache.put_executable_and_time mid-suite; every file passes
-# alone) — so the one-command suite never writes, and the warm script
-# populates the cache file-by-file in isolated processes.
-if os.environ.get("DIFFDART_WARM_CACHE") == "1":
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
-else:
+# Cache READS and WRITES are both on: the suite is self-warming — the first
+# (cold) run writes every compile it performs, so every later run loads
+# executables from disk instead of recompiling. History: r1/r2 disabled
+# writes because a SINGLE process running the whole suite segfaulted inside
+# compilation_cache.put_executable_and_time once enough compilation state
+# accumulated; under the default 4-worker `-n 4 --dist=loadfile`
+# arrangement each worker carries ~1/4 of that state and a full
+# write-enabled suite run completed clean (r3, 195 tests, 88 MB written,
+# no crash). scripts/warm_test_cache.sh remains as a maximally-isolated
+# fallback warmer should the crash ever reappear; set
+# DIFFDART_NO_CACHE_WRITES=1 to restore the read-only behavior.
+if os.environ.get("DIFFDART_NO_CACHE_WRITES") == "1":
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10**9)
+else:
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 
 def pytest_collection_modifyitems(config, items):

@@ -36,7 +36,9 @@ def _grid_q(m, n, spacing):
     for i in range(n):
         x = (i % 3) * spacing
         y = (i // 3) * spacing
-        q += [1.0, 0, 0, 0, x, y, 0.3 + 0.02 * i]
+        # low drop heights so everything lands AND settles within the short
+        # horizons these tests can afford to compile
+        q += [1.0, 0, 0, 0, x, y, 0.15 + 0.015 * i]
     return jnp.asarray(np.array(q), m.mass.dtype)
 
 

@@ -21,6 +21,20 @@ from diffdart_tpu.sim import rollout
 N_DEV = 8
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _no_compile_cache():
+    """Sharded-program tests run CACHE-LESS: XLA:CPU segfaults when
+    deserializing large 8-device sharded executables from the persistent
+    compilation cache (r3: hard crash in
+    compilation_cache.get_executable_and_time loading the dryrun train
+    step on a warm cache). Compiling fresh is slower but always safe; the
+    cache is restored for the other files this worker runs."""
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", prev)
+
+
 @pytest.fixture(scope="module")
 def cheetah_batch():
     B, T = 2 * N_DEV, 3
