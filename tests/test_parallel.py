@@ -172,11 +172,13 @@ def _load_graft_entry():
 
 
 def test_dryrun_subprocesses_unless_default_backend_is_cpu(monkeypatch):
-    """Regression for MULTICHIP_r01/r02: when the process default backend is
-    NOT cpu — even if >= n CPU devices are visible — dryrun_multichip must
+    """Regression for MULTICHIP_r01/r02/r03: when the process default backend
+    is NOT cpu — even if >= n CPU devices are visible — dryrun_multichip must
     take the scrubbed-subprocess path, never touch the default backend, and
-    hand the child a clean env (cpu platform pinned, no inherited
-    compilation cache, forced host device count)."""
+    hand the child a clean env: cpu platform pinned, no inherited compilation
+    cache, forced host device count, the axon sitecustomize stripped from
+    PYTHONPATH, and every relay knob unset (r3: those knobs made even
+    JAX_PLATFORMS=cpu children hang at import)."""
     mod = _load_graft_entry()
     calls = {}
 
@@ -186,17 +188,25 @@ def test_dryrun_subprocesses_unless_default_backend_is_cpu(monkeypatch):
         stderr = ""
 
     class _SubprocessStub:
+        TimeoutExpired = Exception
+
         @staticmethod
         def run(argv, env=None, **kw):
             calls["argv"] = argv
             calls["env"] = env
+            calls["timeout"] = kw.get("timeout")
             return _Proc()
 
     monkeypatch.setattr(mod, "subprocess", _SubprocessStub)
     # simulate the round-2 driver condition: broken/non-cpu default backend
-    monkeypatch.setattr(mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # simulate the round-3 hostile environment
     monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/tmp/poisoned_cache")
     monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.setenv("PYTHONPATH", "/root/.axon_site:/some/benign/path")
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+    monkeypatch.setenv("PALLAS_AXON_REMOTE_COMPILE", "1")
+    monkeypatch.setenv("AXON_LOOPBACK_RELAY", "1")
 
     mod.dryrun_multichip(N_DEV)
 
@@ -209,5 +219,42 @@ def test_dryrun_subprocesses_unless_default_backend_is_cpu(monkeypatch):
     assert env["JAX_PLATFORMS"] == "cpu"
     assert "JAX_COMPILATION_CACHE_DIR" not in env
     assert f"--xla_force_host_platform_device_count={N_DEV}" in env["XLA_FLAGS"]
+    assert ".axon_site" not in env.get("PYTHONPATH", "")
+    assert "/some/benign/path" in env.get("PYTHONPATH", "")
+    for k in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE", "AXON_LOOPBACK_RELAY"):
+        assert k not in env, k
+    assert calls["timeout"] is not None and calls["timeout"] <= 1800
+
+
+def test_graft_entry_module_import_is_jax_free(tmp_path):
+    """Regression for MULTICHIP_r03 (rc=124): the driver's process hung at
+    __graft_entry__.py's module-level ``import jax`` because the host
+    sitecustomize dials a dead TPU relay during backend registration.
+    Loading the module must therefore never import jax. Proven by executing
+    the module in a fresh interpreter where ``import jax`` raises."""
+    import os
+    import subprocess as sp
+    import sys as _sys
+
+    poison = tmp_path / "jax.py"
+    poison.write_text("raise RuntimeError('module-level import jax is forbidden')\n")
+    entry_path = str(
+        __import__("pathlib").Path(__file__).resolve().parent.parent / "__graft_entry__.py"
+    )
+    code = (
+        "import importlib.util\n"
+        f"spec = importlib.util.spec_from_file_location('ge', {entry_path!r})\n"
+        "m = importlib.util.module_from_spec(spec)\n"
+        "spec.loader.exec_module(m)\n"
+        "assert callable(m.entry) and callable(m.dryrun_multichip)\n"
+        "print('jax-free-ok')\n"
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(tmp_path)
+    proc = sp.run(
+        [_sys.executable, "-c", code], env=env, capture_output=True, text=True, timeout=60
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "jax-free-ok" in proc.stdout
 
 
