@@ -24,9 +24,19 @@ hierarchy (VPU lanes + VMEM residency), see SURVEY.md §7 redesign notes.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 # ---------------------------------------------------------------------------
 # element ops (None = structural zero, float = constant, array = tile)
+#
+# TRACE-SPEED NOTE (round 4): every live op binds a jax.lax primitive
+# DIRECTLY instead of going through the jnp operator overloads — each jnp
+# binary op routes through a pjit-wrapped ufunc whose cache lookup costs
+# ~250 us at trace time vs ~40 us for a bare lax bind (measured; it cut the
+# nv=30 humanoid hybrid step trace from 143 s to tens of seconds). lax
+# binary ops accept Python-float scalars as weakly-typed constants in both
+# f32 and f64, so const-vs-tile cases need no explicit conversion. The
+# emitted HLO is identical to what the jnp forms produced.
 # ---------------------------------------------------------------------------
 
 
@@ -45,7 +55,11 @@ def add(a, b):
         return a
     if is_const(a) and is_const(b):
         return float(a) + float(b)
-    return a + b
+    if is_const(a):
+        return lax.add(b, float(a))
+    if is_const(b):
+        return lax.add(a, float(b))
+    return lax.add(a, b)
 
 
 def sub(a, b):
@@ -55,7 +69,11 @@ def sub(a, b):
         return neg(b)
     if is_const(a) and is_const(b):
         return float(a) - float(b)
-    return a - b
+    if is_const(a):
+        return lax.sub(float(a), b)
+    if is_const(b):
+        return lax.sub(a, float(b))
+    return lax.sub(a, b)
 
 
 def neg(a):
@@ -63,7 +81,7 @@ def neg(a):
         return None
     if is_const(a):
         return -float(a)
-    return -a
+    return lax.neg(a)
 
 
 def mul(a, b):
@@ -71,11 +89,11 @@ def mul(a, b):
         return None
     if is_const(a) and is_const(b):
         return float(a) * float(b)
-    if is_const(a) and float(a) == 1.0:
-        return b
-    if is_const(b) and float(b) == 1.0:
-        return a
-    return a * b
+    if is_const(a):
+        return b if float(a) == 1.0 else lax.mul(b, float(a))
+    if is_const(b):
+        return a if float(b) == 1.0 else lax.mul(a, float(b))
+    return lax.mul(a, b)
 
 
 def fma(acc, a, b):
@@ -87,15 +105,17 @@ def div(a, b):
         return None
     if is_const(a) and is_const(b):
         return float(a) / float(b)
-    return a / b
+    if is_const(a):
+        return lax.div(float(a), b)
+    if is_const(b):
+        return lax.div(a, float(b))
+    return lax.div(a, b)
 
 
 def rsqrt(a):
-    import jax
-
     if is_const(a):
         return 1.0 / float(a) ** 0.5
-    return jax.lax.rsqrt(a)
+    return lax.rsqrt(a)
 
 
 def sqrt(a):
@@ -103,7 +123,7 @@ def sqrt(a):
         return None
     if is_const(a):
         return float(a) ** 0.5
-    return jnp.sqrt(a)
+    return lax.sqrt(a)
 
 
 def maximum(a, b):
@@ -114,7 +134,11 @@ def maximum(a, b):
     bb = 0.0 if b is None else b
     if is_const(aa) and is_const(bb):
         return max(float(aa), float(bb))
-    return jnp.maximum(aa, bb)
+    if is_const(aa):
+        return lax.max(bb, float(aa))
+    if is_const(bb):
+        return lax.max(aa, float(bb))
+    return lax.max(aa, bb)
 
 
 def minimum(a, b):
@@ -122,22 +146,53 @@ def minimum(a, b):
     bb = 0.0 if b is None else b
     if is_const(aa) and is_const(bb):
         return min(float(aa), float(bb))
-    return jnp.minimum(aa, bb)
+    if is_const(aa):
+        return lax.min(bb, float(aa))
+    if is_const(bb):
+        return lax.min(aa, float(bb))
+    return lax.min(aa, bb)
 
 
 def where(c, a, b):
     aa = 0.0 if a is None else a
     bb = 0.0 if b is None else b
+    if is_const(aa) and is_const(bb):
+        return jnp.where(c, aa, bb)  # dtype from context; rare, keep jnp
+    # lax.select needs equal-shaped branches: materialize the const side
+    if is_const(aa):
+        aa = lax.full_like(bb, float(aa))
+    elif is_const(bb):
+        bb = lax.full_like(aa, float(bb))
+    if aa.shape == bb.shape == c.shape and aa.dtype == bb.dtype:
+        return lax.select(c, aa, bb)
     return jnp.where(c, aa, bb)
 
 
 def materialize(a, like):
     """Force an element to a real tile (for outputs)."""
     if a is None:
-        return jnp.zeros_like(like)
+        return lax.full_like(like, 0.0)
     if is_const(a):
-        return jnp.full_like(like, float(a))
+        return lax.full_like(like, float(a))
     return a
+
+
+def abs_(a):
+    if is_zero(a):
+        return None
+    if is_const(a):
+        return abs(float(a))
+    return lax.abs(a)
+
+
+def clip(x, lo, hi):
+    """minimum(maximum(x, lo), hi) — jnp.clip semantics via lax binds."""
+    return minimum(maximum(x, lo), hi)
+
+
+def gt0(a, like):
+    """a > 0 as a bool tile (None/const folded against `like`'s shape)."""
+    return lax.gt(materialize(a, like), 0.0)
 
 
 # ---------------------------------------------------------------------------

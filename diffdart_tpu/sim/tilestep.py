@@ -176,8 +176,6 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
             or model.weld_pairs or model.mimic_pairs):
         raise TileStepUnsupported(
             "tile step: servo/joint-friction/bilateral/mimic rows not supported yet")
-    if int(getattr(model, "contact_budget", 0) or 0):
-        raise TileStepUnsupported("tile step: contact-budget top-K selection not supported yet")
     if int(getattr(model, "pair_budget", 0) or 0):
         raise TileStepUnsupported("tile step: AABB pair-budget broadphase not supported yet")
 
@@ -257,12 +255,23 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
     q_lo = np.asarray(model.q_lo, float)
     q_hi = np.asarray(model.q_hi, float)
     D = 3 * nc + 2 * nlim
+    # contact budget: top-K deepest valid slots enter the LCP
+    # (collision/collide.select_contacts semantics — lax.top_k on the masked
+    # depth score). Only the hybrid xla mode supports the per-env gather;
+    # the fully-traced tile LCP has no runtime row permutation.
+    budget = int(getattr(model, "contact_budget", 0) or 0)
+    K_budget = budget if (budget and budget < nc) else 0
+    D_eff = 3 * (K_budget or nc) + 2 * nlim
     iters = int(model.contact_iters)
     polish_passes = 2 if model.lcp_polish else 0
     if lcp == "auto":
-        lcp = "xla" if D > 64 else "tile"
+        lcp = "xla" if (D_eff > 64 or K_budget) else "tile"
     if lcp not in ("tile", "xla"):
         raise ValueError(f"build_tile_step: unknown lcp mode {lcp!r}")
+    if K_budget and lcp == "tile":
+        raise TileStepUnsupported(
+            "tile step: contact-budget top-K selection requires the hybrid "
+            "lcp='xla' mode (per-env row gather has no trace-time tile form)")
     if lcp == "xla" and not barriers:
         # barriers=False marks a Pallas/Mosaic kernel body; the xla LCP's
         # custom_vjp solve cannot live inside a kernel
@@ -492,7 +501,7 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
                             pos = T.vadd(cpt, T.vscale(n_c, T.mul(0.5, depth)))
                             con_pos.append(pos)
                             con_depth.append(depth)
-                            con_valid.append(T.materialize(depth, zero_like) > 0)
+                            con_valid.append(T.gt0(depth, zero_like))
                             con_n.append(n_c)
                             con_body.append(b)
                             con_mu.append(pp["friction"])
@@ -512,7 +521,7 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
                 for d_s, pos_s in _topk_tile_slots(depths, poss, 4, zero_like):
                     con_pos.append(pos_s)
                     con_depth.append(d_s)
-                    con_valid.append(T.materialize(d_s, zero_like) > 0)
+                    con_valid.append(T.gt0(d_s, zero_like))
                     con_n.append(n_c)
                     con_body.append(b)
                     con_mu.append(pp["friction"])
@@ -532,7 +541,7 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
                 pos = T.vsub(cpt, T.vscale(n_c, T.sub(r_g, T.mul(0.5, depth))))
                 con_pos.append(pos)
                 con_depth.append(depth)
-                con_valid.append(T.materialize(depth, zero_like) > 0)
+                con_valid.append(T.gt0(depth, zero_like))
                 con_n.append(n_c)
                 con_body.append(b)
                 con_mu.append(pp["friction"])
@@ -581,7 +590,7 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
             # lower limit row
             viol_lo = T.sub(lo_c, qd)
             pred_lo = T.sub(lo_c, T.add(qd, T.mul(dt, v[dof])))
-            act_lo = (T.materialize(viol_lo, zero_like) > 0) | (T.materialize(pred_lo, zero_like) > 0)
+            act_lo = jax.lax.bitwise_or(T.gt0(viol_lo, zero_like), T.gt0(pred_lo, zero_like))
             t_lo = T.minimum(T.mul(erp / dt, T.maximum(viol_lo, None)), 2.0)
             J_rows[3 * nc + li] = {dof: 1.0}
             b_vec[3 * nc + li] = T.sub(v_star[dof], t_lo)
@@ -589,7 +598,7 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
             # upper limit row
             viol_hi = T.sub(qd, hi_c)
             pred_hi = T.sub(T.add(qd, T.mul(dt, v[dof])), hi_c)
-            act_hi = (T.materialize(viol_hi, zero_like) > 0) | (T.materialize(pred_hi, zero_like) > 0)
+            act_hi = jax.lax.bitwise_or(T.gt0(viol_hi, zero_like), T.gt0(pred_hi, zero_like))
             t_hi = T.minimum(T.mul(erp / dt, T.maximum(viol_hi, None)), 2.0)
             J_rows[3 * nc + nlim + li] = {dof: -1.0}
             b_vec[3 * nc + nlim + li] = T.sub(T.neg(v_star[dof]), t_hi)
@@ -599,6 +608,7 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
             v_new = _xla_lcp_vnew(
                 model, J_rows, b_vec, valid, mu_row, fidx, M, v_star, nv, D,
                 cfm, iters, polish_passes, zero_like,
+                budget_k=K_budget, nc=nc, con_depth=con_depth,
             )
         else:
             lam = _tile_lcp(
@@ -675,24 +685,25 @@ def _topk_tile_slots(depths, poss, k, zero_like):
     replace) followed by a first-match sweep; the winner's masked score is
     then dropped to -1e30 so the next slot picks the next candidate.
     ~7n tile ops per slot."""
+    lax = jax.lax
     n = len(depths)
     ms = [T.materialize(d, zero_like) for d in depths]  # masked scores
     out = []
     for _ in range(min(k, n)):
         best = ms[0]
         for j in range(1, n):
-            best = jnp.maximum(best, ms[j])
+            best = lax.max(best, ms[j])
         found = None
         sel_depth = None
         sel_pos = [None, None, None]
         for j in range(n):
-            eq = ms[j] == best  # bit-exact: best IS one of the ms values
-            sel_j = eq if found is None else (eq & ~found)
-            found = sel_j if found is None else (found | sel_j)
+            eq = lax.eq(ms[j], best)  # bit-exact: best IS one of the ms values
+            sel_j = eq if found is None else lax.bitwise_and(eq, lax.bitwise_not(found))
+            found = sel_j if found is None else lax.bitwise_or(found, sel_j)
             sel_depth = T.where(sel_j, depths[j], sel_depth)
             for a in range(3):
                 sel_pos[a] = T.where(sel_j, poss[j][a], sel_pos[a])
-            ms[j] = jnp.where(sel_j, -1e30, ms[j])
+            ms[j] = lax.select(sel_j, lax.full_like(ms[j], -1e30), ms[j])
         out.append((sel_depth, sel_pos))
     while len(out) < k:  # hulls with fewer verts than k: dead slots
         out.append((None, [None, None, None]))
@@ -700,7 +711,8 @@ def _topk_tile_slots(depths, poss, k, zero_like):
 
 
 def _xla_lcp_vnew(model, J_rows, b_vec, valid, mu_row, fidx, M, v_star, nv, D,
-                  cfm, iters, passes, zero_like):
+                  cfm, iters, passes, zero_like, budget_k=0, nc=0,
+                  con_depth=None):
     """Hybrid LCP backend for big-D models (Atlas-class humanoid): the
     tile-assembled rows materialize into batched dense (B, D, nv) arrays and
     the solve runs through the SAME vmapped lowrank chain as the canonical
@@ -748,11 +760,42 @@ def _xla_lcp_vnew(model, J_rows, b_vec, valid, mu_row, fidx, M, v_star, nv, D,
     vs_b = envf(vsd)  # (B, nv)
 
     inf = jnp.asarray(jnp.inf, dtype)
-    mu_c = jnp.asarray(np.asarray(mu_row), dtype)  # (D,)
-    fidx_c = jnp.asarray(np.asarray(fidx), jnp.int32)  # (D,)
+    if budget_k:
+        # contact budget: per-env top-K deepest valid slots
+        # (collide.select_contacts parity: lax.top_k on the masked depth
+        # score — stable, lowest slot index wins ties). Rows are gathered in
+        # the [K normals | K t1 | K t2 | limit rows] layout; the limit rows
+        # pass through unselected.
+        K = budget_k
+        nlim2 = D - 3 * nc  # both limit-row blocks
+        depth_b = envf(jnp.stack([T.materialize(d, zero_like) for d in con_depth]))
+        score = jnp.where(v_b[:, :nc], depth_b, -inf)
+        _, idx = jax.lax.top_k(score, K)  # (B, K)
+        lim_rows = jnp.broadcast_to(
+            jnp.arange(3 * nc, D, dtype=idx.dtype), (B, nlim2)
+        )
+        rows_idx = jnp.concatenate([idx, idx + nc, idx + 2 * nc, lim_rows], axis=1)
+        J_b = jnp.take_along_axis(J_b, rows_idx[:, :, None], axis=1)
+        b_b = jnp.take_along_axis(b_b, rows_idx, axis=1)
+        v_b = jnp.take_along_axis(v_b, rows_idx, axis=1)
+        # per-slot friction gathers with the slots; fidx becomes the static
+        # budget pattern (t-row i couples to normal row i)
+        mu_slot = jnp.asarray(np.asarray(mu_row[nc:2 * nc]), dtype)  # (nc,)
+        mu_sel = mu_slot[idx]  # (B, K)
+        mu_full = jnp.concatenate(
+            [jnp.zeros_like(mu_sel), mu_sel, mu_sel,
+             jnp.zeros((B, nlim2), dtype)], axis=1)
+        fidx_np = np.full(3 * K + nlim2, -1, np.int32)
+        fidx_np[K:2 * K] = np.arange(K)
+        fidx_np[2 * K:3 * K] = np.arange(K)
+        fidx_c = jnp.asarray(fidx_np)
+        mu_b = jnp.where(v_b, mu_full, 0.0)
+    else:
+        mu_c = jnp.asarray(np.asarray(mu_row), dtype)  # (D,)
+        fidx_c = jnp.asarray(np.asarray(fidx), jnp.int32)  # (D,)
+        mu_b = jnp.where(v_b, mu_c[None, :], 0.0)
     lo_b = jnp.zeros_like(b_b)
     hi_b = jnp.where(v_b, inf, 0.0)
-    mu_b = jnp.where(v_b, mu_c[None, :], 0.0)
     cfm_a = jnp.asarray(cfm, dtype)
 
     pivot_iters = int(model.lcp_pivot_iters)
@@ -826,18 +869,25 @@ def _tile_lcp(J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters, pa
     diag = [T.maximum(a_entry(i, i), 1e-12) for i in range(D)]
     # rowsum of |A| for the adaptive sweep scaling; A is symmetric, so each
     # off-diagonal entry is computed once and credited to both rows
-    rs = [[jnp.abs(T.materialize(diag[i], zero_like))] for i in range(D)]
+    rs = [[T.abs_(T.materialize(diag[i], zero_like))] for i in range(D)]
     for i in range(D):
         for j in range(i + 1, D):
             e = a_entry(i, j)
             if e is None:
                 continue
-            ae = abs(e) if T.is_const(e) else jnp.abs(e)
+            ae = T.abs_(e)
             rs[i].append(ae)
             rs[j].append(ae)
-    rowsum = [T.maximum(sum(r[1:], r[0]), 1e-12) for r in rs]
+
+    def _sum(elems):
+        acc = elems[0]
+        for e in elems[1:]:
+            acc = T.add(acc, e)
+        return acc
+
+    rowsum = [T.maximum(_sum(r), 1e-12) for r in rs]
     scale = [
-        T.div(jnp.clip(T.div(diag[i], rowsum[i]), 0.3, 0.9), diag[i]) for i in range(D)
+        T.div(T.clip(T.div(diag[i], rowsum[i]), 0.3, 0.9), diag[i]) for i in range(D)
     ]
 
     def matvec(lam):
@@ -862,11 +912,7 @@ def _tile_lcp(J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters, pa
         rows pin to 0."""
         if is_fr[i]:
             bound = T.mul(mu_row[i], lam[fidx[i]])  # >= 0 since lam_n >= 0
-            c = jnp.clip(
-                T.materialize(cand, zero_like),
-                T.neg(T.materialize(bound, zero_like)),
-                T.materialize(bound, zero_like),
-            )
+            c = T.clip(cand, T.neg(bound), bound)
         else:
             c = T.maximum(cand, None)  # lo = 0, hi = inf
         return T.where(valid[i], c, None)
@@ -891,29 +937,39 @@ def _tile_lcp(J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters, pa
     _TOL = 1e-8
 
     def one_pass(lam):
+        lax = jax.lax
         lam_m = [T.materialize(x, zero_like) for x in lam]
         free, fr_bound, s_sign = [], [], []
         for i in range(D):
-            sc = jnp.maximum(jnp.abs(lam_m[i]), 1.0)
+            sc = lax.max(lax.abs(lam_m[i]), 1.0)
+            tol_sc = lax.mul(sc, _TOL)
             if is_fr[i]:
                 bound = T.materialize(T.mul(mu_row[i], lam[fidx[i]]), zero_like)
-                at_lo = lam_m[i] <= -bound + _TOL * sc
-                at_hi = lam_m[i] >= bound - _TOL * sc
-                degen = at_lo & at_hi
-                free.append(~at_lo & ~at_hi & valid[i])
+                at_lo = lax.le(lam_m[i], lax.sub(tol_sc, bound))
+                at_hi = lax.ge(lam_m[i], lax.sub(bound, tol_sc))
+                degen = lax.bitwise_and(at_lo, at_hi)
+                free.append(lax.bitwise_and(
+                    lax.bitwise_and(lax.bitwise_not(at_lo), lax.bitwise_not(at_hi)),
+                    valid[i],
+                ))
                 # the friction-bound coupling EXCLUDES degenerate rows
                 # (zero-width box: lam pins to 0, no B column) — matches
                 # ops/lcp.py:_classify fr_bound
-                fr_bound.append((at_lo | at_hi) & ~degen & valid[i])
-                s_sign.append(jnp.where(at_hi, 1.0, -1.0))
+                fr_bound.append(lax.bitwise_and(
+                    lax.bitwise_and(lax.bitwise_or(at_lo, at_hi), lax.bitwise_not(degen)),
+                    valid[i],
+                ))
+                s_sign.append(lax.select(
+                    at_hi, lax.full_like(zero_like, 1.0), lax.full_like(zero_like, -1.0)
+                ))
             else:
-                at_lo = lam_m[i] <= _TOL * sc
-                free.append(~at_lo & valid[i])
+                at_lo = lax.le(lam_m[i], tol_sc)
+                free.append(lax.bitwise_and(lax.bitwise_not(at_lo), valid[i]))
                 fr_bound.append(None)
                 s_sign.append(None)
-        Ffloat = [jnp.where(free[i], 1.0, 0.0) for i in range(D)]
+        Ffloat = [T.where(free[i], 1.0, None) for i in range(D)]
         fbm = [
-            (jnp.where(fr_bound[i], 1.0, 0.0) * s_sign[i] * mu_row[i])
+            T.mul(T.mul(T.where(fr_bound[i], 1.0, None), s_sign[i]), mu_row[i])
             if is_fr[i]
             else None
             for i in range(D)
@@ -972,26 +1028,27 @@ def _tile_lcp(J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters, pa
         res = None
         for i in range(D):
             proj = clip_row(i, T.sub(lam_m[i], T.add(w[i], b_vec[i])), lam_m)
-            res = T.maximum(res, jnp.abs(T.materialize(T.sub(lam_m[i], proj), zero_like)))
+            res = T.maximum(res, T.abs_(T.sub(lam_m[i], proj)))
         return T.materialize(res, zero_like)
 
     # ---- guarded polish passes (primal only, all stop_gradient'ed),
     # structurally identical to ops/lcp_lowrank._polish_lowrank: iterate
     # from the last pass result, fall back on non-finite, return the best
     # iterate by natural residual
+    lax_ = jax.lax
     lam_it = [T.materialize(_sg(x), zero_like) for x in lam]
     best = lam_it
     best_res = nat_residual(best)
     for _ in range(passes):
         cand = [T.materialize(_sg(x), zero_like) for x in one_pass(lam_it)]
-        finite = cand[0] == cand[0]
+        finite = lax_.eq(cand[0], cand[0])
         for x in cand:
-            finite = finite & jnp.isfinite(x)
-        lam_it = fence([jnp.where(finite, c, p) for c, p in zip(cand, lam_it)])
+            finite = lax_.bitwise_and(finite, lax_.is_finite(x))
+        lam_it = fence([lax_.select(finite, c, p) for c, p in zip(cand, lam_it)])
         res = nat_residual(lam_it)
-        better = res < best_res
-        best = fence([jnp.where(better, c, b_) for c, b_ in zip(lam_it, best)])
-        best_res = jnp.minimum(res, best_res)
+        better = lax_.lt(res, best_res)
+        best = fence([lax_.select(better, c, b_) for c, b_ in zip(lam_it, best)])
+        best_res = lax_.min(res, best_res)
 
     # ---- gradient attachment (straight-through IFT): the primal is exactly
     # `best`; the tangent comes from one more one_pass AT best, whose KKT
@@ -1006,17 +1063,24 @@ def _tile_lcp(J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters, pa
     # sanitized inputs (lam <- 0 for bad envs: all-pinned classification,
     # benign solve) and discard its values for those envs.
     probe = [T.materialize(x, zero_like) for x in one_pass(best)]
-    finite = probe[0] == probe[0]
+    finite = lax_.eq(probe[0], probe[0])
     for x in probe:
-        finite = finite & jnp.isfinite(x)
+        finite = lax_.bitwise_and(finite, lax_.is_finite(x))
     drift = None
     for g, b_ in zip(probe, best):
-        drift = T.maximum(drift, jnp.abs(jnp.where(jnp.isfinite(g), g, 1e30) - b_))
-    ok = finite & (T.materialize(drift, zero_like) <= 1e-5 * (best_res + 1.0))
-    safe_in = [jnp.where(ok, b_, 0.0) for b_ in best]
+        g_clean = lax_.select(lax_.is_finite(g), g, lax_.full_like(g, 1e30))
+        drift = T.maximum(drift, lax_.abs(lax_.sub(g_clean, b_)))
+    ok = lax_.bitwise_and(
+        finite,
+        lax_.le(
+            T.materialize(drift, zero_like),
+            lax_.mul(lax_.add(best_res, 1.0), 1e-5),
+        ),
+    )
+    safe_in = [lax_.select(ok, b_, lax_.full_like(b_, 0.0)) for b_ in best]
     out_g = [T.materialize(x, zero_like) for x in one_pass(safe_in)]
     out = [
-        jnp.where(ok, b_ + (g - jax.lax.stop_gradient(g)), b_)
+        lax_.select(ok, lax_.add(b_, lax_.sub(g, lax_.stop_gradient(g))), b_)
         for g, b_ in zip(out_g, best)
     ]
     return fence(out)

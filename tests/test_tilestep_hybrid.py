@@ -100,6 +100,65 @@ class TestHybridXlaLcp:
         np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_r), rtol=5e-4, atol=5e-7)
 
 
+class TestHybridContactBudget:
+    def test_contact_budget_matches_vmap_step(self):
+        """Model.contact_budget in the hybrid mode: the per-env top-K row
+        gather (lax.top_k on the masked depth score) must reproduce
+        collide.select_contacts semantics — per-step parity with the vmap
+        step, which routes the same budget through select_contacts. The worm
+        has 4 contact slots; budget 3 forces real selection whenever more
+        than 3 slots touch."""
+        m = jump_worm(dt=2e-3, n_links=2).replace(contact_budget=3)
+        qb, vb, taub = _worm_batch(m, seed=7)
+        # budget forces the hybrid: lcp='auto' resolves to 'xla'
+        tstep = jax.jit(build_tile_step(m, output="tiles"))
+        ref = jax.jit(jax.vmap(lambda q, v, t: step(m, State(q=q, v=v, t=jnp.zeros(())), t)))
+        taut = _tiles(taub)
+        for it in range(25):
+            sr = ref(qb, vb, taub)
+            qt, vt = tstep(_tiles(qb), _tiles(vb), taut)
+            np.testing.assert_allclose(_untiles(qt), np.asarray(sr.q), atol=1e-7,
+                                       err_msg=f"q diverged at step {it}")
+            np.testing.assert_allclose(_untiles(vt), np.asarray(sr.v), atol=1e-5,
+                                       err_msg=f"v diverged at step {it}")
+            qb, vb = sr.q, sr.v
+
+    def test_contact_budget_bptt_gradient(self):
+        """BPTT through the budgeted hybrid: gradients flow through the
+        take_along_axis gather (scatter-add in the VJP) and must match the
+        vmap path's gradient through select_contacts."""
+        m = jump_worm(dt=2e-3, n_links=2).replace(contact_budget=3)
+        qb, vb, taub = _worm_batch(m, seed=11)
+        T = 5
+        taus = jnp.tile(taub[None], (T, 1, 1)) * 0.3
+        tstep = build_tile_step(m, output="tiles")
+
+        def loss_tile(taus):
+            def body(c, tau):
+                qn, vn = tstep(c[0], c[1], _tiles(tau))
+                return (qn, vn), None
+
+            (qf, vf), _ = jax.lax.scan(body, (_tiles(qb), _tiles(vb)), taus)
+            return jnp.mean(_untiles(qf)[:, 0] ** 2) + jnp.mean(_untiles(vf) ** 2)
+
+        def loss_ref(taus):
+            def roll(q, v, taus_env):
+                def body(c, tau):
+                    s = step(m, State(q=c[0], v=c[1], t=jnp.zeros(())), tau)
+                    return (s.q, s.v), None
+
+                (qf, vf), _ = jax.lax.scan(body, (q, v), taus_env)
+                return qf, vf
+
+            qf, vf = jax.vmap(roll, in_axes=(0, 0, 1))(qb, vb, taus)
+            return jnp.mean(qf[:, 0] ** 2) + jnp.mean(vf**2)
+
+        l_t, g_t = jax.jit(jax.value_and_grad(loss_tile))(taus)
+        l_r, g_r = jax.jit(jax.value_and_grad(loss_ref))(taus)
+        np.testing.assert_allclose(float(l_t), float(l_r), rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_r), rtol=5e-4, atol=5e-7)
+
+
 class TestConvexTileContacts:
     def _octa_model(self):
         """Free body with an octahedral convex hull on the plane — exercises
