@@ -57,9 +57,17 @@ def ilqr(
     iters: int = 50,
     reg_init: float = 1e-6,
     alphas=(1.0, 0.6, 0.3, 0.1, 0.03, 0.01),
+    diagnose_model: Model | None = None,
+    diagnose_control_map: Callable | None = None,
 ) -> ILQRResult:
     """Iterative LQR. f(x, u) -> x'; running_cost(x, u, t) -> scalar;
-    terminal_cost(x) -> scalar. Everything jit-compatible; call under jit."""
+    terminal_cost(x) -> scalar. Everything jit-compatible; call under jit.
+
+    diagnose_model: pass the physics Model behind `f` to check the contact
+    solver's health along the optimized trajectory — a SolverStallWarning
+    fires (at run time, jit-safe) if the LCP stalled anywhere, instead of
+    the optimization silently freezing (trajectory/stall.py).
+    diagnose_control_map: the same control lift given to make_dynamics."""
     T, nu = us_init.shape
     nx = x0.shape[0]
     dtype = x0.dtype
@@ -151,4 +159,10 @@ def ilqr(
     (xs, us, cost, _), trace = jax.lax.scan(
         iteration, (xs0, us_init, cost0, jnp.asarray(reg_init, dtype)), None, length=iters
     )
+    if diagnose_model is not None:
+        from diffdart_tpu.trajectory.stall import check_trajectory_stall
+
+        check_trajectory_stall(
+            diagnose_model, xs, us, diagnose_control_map, context="ilqr"
+        )
     return ILQRResult(us=us, xs=xs, cost=cost, cost_trace=trace)

@@ -47,6 +47,8 @@ def solve_slsqp(
     max_iter: int = 100,
     tol: float = 1e-8,
     intermediate_callback=None,
+    diagnose_model=None,
+    diagnose_control_map=None,
 ):
     """Solve the multiple-shooting problem as a host NLP.
 
@@ -55,6 +57,10 @@ def solve_slsqp(
     intermediate_callback(iteration, xs, us, cost): called once per major
     SQP iteration with the current single-shooting rollout
     (Problem::registerIntermediateCallback parity).
+    diagnose_model: the physics Model behind ms.f — when given, the contact
+    solver's health is checked along the solution trajectory and a
+    SolverStallWarning fires if the LCP stalled anywhere
+    (trajectory/stall.py).
 
     Returns (ShootingResult, NLPInfo). Defects at the solution satisfy the
     SQP equality tolerance (reported in NLPInfo.constraint_violation) —
@@ -152,6 +158,12 @@ def solve_slsqp(
 
     us = jnp.asarray(res.x[:n_u].reshape(T, nu), dtype)
     xs, cost = _rollout(ms.f, x0, us, ms.rc, ms.tc)
+    if diagnose_model is not None:
+        from diffdart_tpu.trajectory.stall import check_trajectory_stall
+
+        check_trajectory_stall(
+            diagnose_model, xs, us, diagnose_control_map, context="SLSQP NLP"
+        )
     viol = float(np.abs(np.asarray(con_val(jnp.asarray(res.x, dtype)))).max()) if n_k else 0.0
     result = ShootingResult(
         us=us,

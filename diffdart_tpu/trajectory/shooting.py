@@ -123,11 +123,19 @@ class MultipleShooting:
         rho_growth: float = 4.0,
         optimizer=None,
         intermediate_callback=None,
+        diagnose_model=None,
+        diagnose_control_map=None,
     ) -> ShootingResult:
         """intermediate_callback(iteration, xs, us, cost): host-side hook
         called after every outer AL iteration with the current trajectory —
         Problem::registerIntermediateCallback parity (e.g. stream it to the
-        viewer with GUIWebsocketServer.renderTrajectory)."""
+        viewer with GUIWebsocketServer.renderTrajectory).
+
+        diagnose_model: the physics Model behind `f` — when given, the
+        contact solver's natural-map residual is checked along the final
+        trajectory and a SolverStallWarning fires if the LCP stalled
+        anywhere (trajectory/stall.py), instead of the optimization
+        silently freezing."""
         opt = optimizer or optax.adam(5e-2)
         # one jitted rollout reused for knot init, every callback invocation,
         # and the final result — the callback loop previously re-traced the
@@ -173,6 +181,13 @@ class MultipleShooting:
                 intermediate_callback(it, xs_it, params[1], cost_it)
         knots, us = params
         xs, cost = roll(us)
+        if diagnose_model is not None:
+            from diffdart_tpu.trajectory.stall import check_trajectory_stall
+
+            check_trajectory_stall(
+                diagnose_model, xs, us, diagnose_control_map,
+                context="multiple shooting",
+            )
         return ShootingResult(
             us=us,
             xs=xs,
