@@ -11,10 +11,12 @@ constant plane normals) fold away, and the whole step becomes one straight
 chain of full-tile VPU ops — runnable as plain XLA or as the body of a
 single Pallas kernel (ops/pallas_step.py).
 
-Supported (v3): REVOLUTE / PRISMATIC / PLANAR / WELD / FREE joints
+Supported (v4): REVOLUTE / PRISMATIC / PLANAR / WELD / FREE / BALL joints
 (quaternion FK + geometric integration); capsule-plane, sphere-plane,
 box-plane (8-corner) and convex-hull-plane (4 deepest verts) contacts;
-joint limits on scalar dofs; the lowrank boxed-LCP with Woodbury polish.
+joint limits on scalar dofs; velocity-servo motors and joint Coulomb
+friction (constant-box LCP rows, targets/limits baked as trace constants);
+the lowrank boxed-LCP with Woodbury polish.
 Models outside this subset raise TileStepUnsupported — callers fall back
 to the vmap path. Gradients flow wrt (q, v, tau) only: model parameters
 are baked as trace-time constants (use the vmap path for parameter
@@ -167,15 +169,25 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
 
     ok_joints = {
         JointType.REVOLUTE, JointType.PRISMATIC, JointType.PLANAR,
-        JointType.WELD, JointType.FREE,
+        JointType.WELD, JointType.FREE, JointType.BALL,
     }
     for j in jt:
         if j not in ok_joints:
             raise TileStepUnsupported(f"tile step: joint type {j} not supported yet")
-    if (model.servo_dofs or model.friction_dofs or model.ball_pairs
-            or model.weld_pairs or model.mimic_pairs):
+    if model.ball_pairs or model.weld_pairs or model.mimic_pairs:
         raise TileStepUnsupported(
-            "tile step: servo/joint-friction/bilateral/mimic rows not supported yet")
+            "tile step: bilateral/mimic rows not supported yet")
+    # servo (ServoMotorConstraint) / joint-Coulomb-friction rows are constant
+    # symmetric-box LCP rows. Their targets/limits are baked as TRACE
+    # CONSTANTS here (the fused step is specialized per model anyway);
+    # changing servo_target/force_limit/joint_friction requires a rebuild —
+    # the vmap path keeps them as traced leaves.
+    servo = tuple(int(d) for d in model.servo_dofs)
+    fric = tuple(int(d) for d in model.friction_dofs)
+    nservo, nfric = len(servo), len(fric)
+    servo_tgt = np.asarray(model.servo_target, float) if nservo else None
+    servo_lim = np.asarray(model.force_limit, float) if nservo else None
+    joint_mu = np.asarray(model.joint_friction, float) if nfric else None
     if int(getattr(model, "pair_budget", 0) or 0):
         raise TileStepUnsupported("tile step: AABB pair-budget broadphase not supported yet")
 
@@ -183,7 +195,7 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
     # dofs, where springs/limits are unsupported in the tiled subset)
     dof_qidx = [None] * nv
     for i in range(nb):
-        if jt[i] == JointType.FREE:
+        if jt[i] in (JointType.FREE, JointType.BALL):
             continue
         nvj = {JointType.WELD: 0, JointType.REVOLUTE: 1, JointType.PRISMATIC: 1, JointType.PLANAR: 3}[jt[i]]
         for k in range(nvj):
@@ -254,14 +266,14 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
     nlim = len(lim)
     q_lo = np.asarray(model.q_lo, float)
     q_hi = np.asarray(model.q_hi, float)
-    D = 3 * nc + 2 * nlim
+    D = 3 * nc + 2 * nlim + nservo + nfric
     # contact budget: top-K deepest valid slots enter the LCP
     # (collision/collide.select_contacts semantics — lax.top_k on the masked
     # depth score). Only the hybrid xla mode supports the per-env gather;
     # the fully-traced tile LCP has no runtime row permutation.
     budget = int(getattr(model, "contact_budget", 0) or 0)
     K_budget = budget if (budget and budget < nc) else 0
-    D_eff = 3 * (K_budget or nc) + 2 * nlim
+    D_eff = 3 * (K_budget or nc) + 2 * nlim + nservo + nfric
     iters = int(model.contact_iters)
     polish_passes = 2 if model.lcp_polish else 0
     if lcp == "auto":
@@ -309,6 +321,11 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
             elif jt[i] == JointType.FREE:
                 Rj = T.quat_to_mat_t(T.quat_normalize_t([q[o], q[o + 1], q[o + 2], q[o + 3]]))
                 pj = [q[o + 4], q[o + 5], q[o + 6]]
+            elif jt[i] == JointType.BALL:
+                # quaternion-parameterized spherical joint
+                # (joints.joint_transform BALL parity)
+                Rj = T.quat_to_mat_t(T.quat_normalize_t([q[o], q[o + 1], q[o + 2], q[o + 3]]))
+                pj = [None, None, None]
             else:  # WELD
                 Rj = T.eye3()
                 pj = [None, None, None]
@@ -341,6 +358,9 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
                 # S = I6 in the child frame: 3 angular then 3 linear unit rows
                 rows = [([1.0 if a == k else None for a in range(3)], [None] * 3) for k in range(3)]
                 rows += [([None] * 3, [1.0 if a == k else None for a in range(3)]) for k in range(3)]
+            elif jt[i] == JointType.BALL:
+                # S = [I3 | 0] in the child frame (joints.motion_subspace BALL)
+                rows = [([1.0 if a == k else None for a in range(3)], [None] * 3) for k in range(3)]
             else:
                 rows = []
             for k, (w_l, v_l) in enumerate(rows):
@@ -548,10 +568,14 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
                 con_rest.append(pp["restitution"])
 
         # ---------------- constraint rows ----------------
-        # layout: [nc normals | nc t1 | nc t2 | nlim lower | nlim upper]
+        # layout: [nc normals | nc t1 | nc t2 | nlim lower | nlim upper |
+        #          nservo | nfric]  (assembly.build_lcp row-order parity)
+        # bounds: box_c[i]=None means lo=0/hi=inf (contacts, limits; friction
+        # rows get the moving +-mu*lam_n box via fidx); box_c[i]=c means the
+        # constant symmetric box [-c, +c] (servo / joint-Coulomb rows).
         J_rows = [None] * D  # dict dof -> element
         b_vec = [None] * D
-        lo_inf = [None] * D  # semantics: lo = 0 for all supported rows
+        box_c = [None] * D
         valid = [None] * D
         mu_row = [0.0] * D
         fidx = [-1] * D
@@ -603,17 +627,33 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
             J_rows[3 * nc + nlim + li] = {dof: -1.0}
             b_vec[3 * nc + nlim + li] = T.sub(T.neg(v_star[dof]), t_hi)
             valid[3 * nc + nlim + li] = act_hi
+        base = 3 * nc + 2 * nlim
+        for si, dof in enumerate(servo):
+            # velocity servo: drive v[dof] -> servo_target within +-F*dt
+            # impulse (ServoMotorConstraint / assembly.build_lcp parity)
+            J_rows[base + si] = {dof: 1.0}
+            b_vec[base + si] = T.sub(v_star[dof], float(servo_tgt[dof]))
+            valid[base + si] = True
+            box_c[base + si] = float(servo_lim[dof]) * dt
+        for fi, dof in enumerate(fric):
+            # joint Coulomb friction: drive v[dof] -> 0 within +-mu*dt
+            # (JointCoulombFrictionConstraint parity)
+            i_row = base + nservo + fi
+            J_rows[i_row] = {dof: 1.0}
+            b_vec[i_row] = v_star[dof]
+            valid[i_row] = True
+            box_c[i_row] = float(joint_mu[dof]) * dt
 
         if lcp == "xla":
             v_new = _xla_lcp_vnew(
                 model, J_rows, b_vec, valid, mu_row, fidx, M, v_star, nv, D,
                 cfm, iters, polish_passes, zero_like,
-                budget_k=K_budget, nc=nc, con_depth=con_depth,
+                budget_k=K_budget, nc=nc, con_depth=con_depth, box_c=box_c,
             )
         else:
             lam = _tile_lcp(
                 J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters,
-                polish_passes, zero_like, barriers,
+                polish_passes, zero_like, barriers, box_c,
             )
 
             # v_new = v_star + Minv J^T lam
@@ -633,16 +673,17 @@ def build_tile_step(model: Model, output: str = "stacked", barriers: bool = True
         out = list(q)
         for i in range(nb):
             o, vo = q_off[i], v_off[i]
-            if jt[i] == JointType.FREE:
+            if jt[i] in (JointType.FREE, JointType.BALL):
                 quat = T.quat_normalize_t([q[o + k] for k in range(4)])
                 w_dt = [T.mul(dt, v_new[vo + k]) for k in range(3)]
                 new_quat = T.quat_normalize_t(T.quat_mul_t(quat, T.quat_exp_t(w_dt)))
-                Rq = T.quat_to_mat_t(quat)
-                dp = T.vscale(T.matvec3(Rq, [v_new[vo + 3 + k] for k in range(3)]), dt)
                 for k in range(4):
                     out[o + k] = new_quat[k]
-                for k in range(3):
-                    out[o + 4 + k] = T.add(q[o + 4 + k], dp[k])
+                if jt[i] == JointType.FREE:
+                    Rq = T.quat_to_mat_t(quat)
+                    dp = T.vscale(T.matvec3(Rq, [v_new[vo + 3 + k] for k in range(3)]), dt)
+                    for k in range(3):
+                        out[o + 4 + k] = T.add(q[o + 4 + k], dp[k])
             else:
                 for k in range(_scalar_nv[jt[i]]):
                     out[o + k] = T.add(q[o + k], T.mul(dt, v_new[vo + k]))
@@ -712,7 +753,7 @@ def _topk_tile_slots(depths, poss, k, zero_like):
 
 def _xla_lcp_vnew(model, J_rows, b_vec, valid, mu_row, fidx, M, v_star, nv, D,
                   cfm, iters, passes, zero_like, budget_k=0, nc=0,
-                  con_depth=None):
+                  con_depth=None, box_c=None):
     """Hybrid LCP backend for big-D models (Atlas-class humanoid): the
     tile-assembled rows materialize into batched dense (B, D, nv) arrays and
     the solve runs through the SAME vmapped lowrank chain as the canonical
@@ -760,6 +801,15 @@ def _xla_lcp_vnew(model, J_rows, b_vec, valid, mu_row, fidx, M, v_star, nv, D,
     vs_b = envf(vsd)  # (B, nv)
 
     inf = jnp.asarray(jnp.inf, dtype)
+    # per-row constant bounds: lo=0/hi=inf default; box_c rows are the
+    # constant symmetric boxes [-c, +c] (servo / joint-Coulomb rows)
+    lo_np = np.zeros(D)
+    hi_np = np.full(D, np.inf)
+    for i, c in enumerate(box_c or ()):
+        if c is not None:
+            lo_np[i], hi_np[i] = -c, c
+    lo_row = jnp.asarray(lo_np, dtype)  # (D,)
+    hi_row = jnp.asarray(hi_np, dtype)
     if budget_k:
         # contact budget: per-env top-K deepest valid slots
         # (collide.select_contacts parity: lax.top_k on the masked depth
@@ -778,6 +828,8 @@ def _xla_lcp_vnew(model, J_rows, b_vec, valid, mu_row, fidx, M, v_star, nv, D,
         J_b = jnp.take_along_axis(J_b, rows_idx[:, :, None], axis=1)
         b_b = jnp.take_along_axis(b_b, rows_idx, axis=1)
         v_b = jnp.take_along_axis(v_b, rows_idx, axis=1)
+        lo_g = lo_row[rows_idx]  # (B, D_eff)
+        hi_g = hi_row[rows_idx]
         # per-slot friction gathers with the slots; fidx becomes the static
         # budget pattern (t-row i couples to normal row i)
         mu_slot = jnp.asarray(np.asarray(mu_row[nc:2 * nc]), dtype)  # (nc,)
@@ -794,8 +846,10 @@ def _xla_lcp_vnew(model, J_rows, b_vec, valid, mu_row, fidx, M, v_star, nv, D,
         mu_c = jnp.asarray(np.asarray(mu_row), dtype)  # (D,)
         fidx_c = jnp.asarray(np.asarray(fidx), jnp.int32)  # (D,)
         mu_b = jnp.where(v_b, mu_c[None, :], 0.0)
-    lo_b = jnp.zeros_like(b_b)
-    hi_b = jnp.where(v_b, inf, 0.0)
+        lo_g = jnp.broadcast_to(lo_row[None, :], b_b.shape)
+        hi_g = jnp.broadcast_to(hi_row[None, :], b_b.shape)
+    lo_b = jnp.where(v_b, lo_g, 0.0)
+    hi_b = jnp.where(v_b, hi_g, 0.0)
     cfm_a = jnp.asarray(cfm, dtype)
 
     pivot_iters = int(model.lcp_pivot_iters)
@@ -828,17 +882,25 @@ def _xla_lcp_vnew(model, J_rows, b_vec, valid, mu_row, fidx, M, v_star, nv, D,
     return [vt[i] for i in range(nv)]
 
 
-def _tile_lcp(J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters, passes, zero_like, barriers=True):
+def _tile_lcp(J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters, passes, zero_like, barriers=True, box_c=None):
     """Boxed LCP over tile rows: phased-Jacobi warm start + active-set
     Woodbury polish. Row semantics match ops/lcp.py for the supported row
     types (contact normals lo=0/hi=inf, friction rows moving bounds, limit
-    rows lo=0/hi=inf); invalid rows are pinned at 0.
+    rows lo=0/hi=inf, servo/joint-friction rows constant boxes [-c, +c] via
+    box_c); invalid rows are pinned at 0.
 
     Gradients: everything up to the final polish pass is stop_gradient'ed;
     AD through the final pass's KKT solve is the IFT gradient. The gradient
     attachment runs even at passes=0 (lcp_polish=False) so the fused path
     never silently returns zero contact gradients."""
     is_fr = [fidx[i] >= 0 for i in range(D)]
+    if box_c is None:
+        box_c = [None] * D
+    is_box = [box_c[i] is not None for i in range(D)]
+
+    def _andv(x, i):
+        # valid[i] is Python True for always-on rows (servo/joint-friction)
+        return x if valid[i] is True else jax.lax.bitwise_and(x, valid[i])
 
     def fence(xs):
         return _barrier(xs, barriers)
@@ -913,8 +975,12 @@ def _tile_lcp(J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters, pa
         if is_fr[i]:
             bound = T.mul(mu_row[i], lam[fidx[i]])  # >= 0 since lam_n >= 0
             c = T.clip(cand, T.neg(bound), bound)
+        elif is_box[i]:
+            c = T.clip(cand, -box_c[i], box_c[i])
         else:
             c = T.maximum(cand, None)  # lo = 0, hi = inf
+        if valid[i] is True:
+            return c
         return T.where(valid[i], c, None)
 
     scale = fence(scale)
@@ -939,7 +1005,7 @@ def _tile_lcp(J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters, pa
     def one_pass(lam):
         lax = jax.lax
         lam_m = [T.materialize(x, zero_like) for x in lam]
-        free, fr_bound, s_sign = [], [], []
+        free, fr_bound, s_sign, pin_val = [], [], [], []
         for i in range(D):
             sc = lax.max(lax.abs(lam_m[i]), 1.0)
             tol_sc = lax.mul(sc, _TOL)
@@ -948,25 +1014,48 @@ def _tile_lcp(J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters, pa
                 at_lo = lax.le(lam_m[i], lax.sub(tol_sc, bound))
                 at_hi = lax.ge(lam_m[i], lax.sub(bound, tol_sc))
                 degen = lax.bitwise_and(at_lo, at_hi)
-                free.append(lax.bitwise_and(
+                free.append(_andv(
                     lax.bitwise_and(lax.bitwise_not(at_lo), lax.bitwise_not(at_hi)),
-                    valid[i],
+                    i,
                 ))
                 # the friction-bound coupling EXCLUDES degenerate rows
                 # (zero-width box: lam pins to 0, no B column) — matches
                 # ops/lcp.py:_classify fr_bound
-                fr_bound.append(lax.bitwise_and(
+                fr_bound.append(_andv(
                     lax.bitwise_and(lax.bitwise_or(at_lo, at_hi), lax.bitwise_not(degen)),
-                    valid[i],
+                    i,
                 ))
                 s_sign.append(lax.select(
                     at_hi, lax.full_like(zero_like, 1.0), lax.full_like(zero_like, -1.0)
                 ))
+                pin_val.append(None)
+            elif is_box[i]:
+                # constant box [-c, +c]: at-bound rows pin to +-c (nonzero!),
+                # entering the KKT rhs as cfm*c_pin (see S-system note below)
+                cb = float(box_c[i])
+                at_lo = lax.le(lam_m[i], lax.sub(tol_sc, cb))
+                at_hi = lax.ge(lam_m[i], lax.sub(lax.full_like(zero_like, cb), tol_sc))
+                degen = lax.bitwise_and(at_lo, at_hi)
+                free.append(_andv(
+                    lax.bitwise_and(lax.bitwise_not(at_lo), lax.bitwise_not(at_hi)),
+                    i,
+                ))
+                fr_bound.append(None)
+                sgn = lax.select(
+                    at_hi, lax.full_like(zero_like, 1.0), lax.full_like(zero_like, -1.0)
+                )
+                s_sign.append(None)
+                pinned = _andv(
+                    lax.bitwise_and(lax.bitwise_or(at_lo, at_hi), lax.bitwise_not(degen)),
+                    i,
+                )
+                pin_val.append(T.mul(T.mul(T.where(pinned, 1.0, None), sgn), cb))
             else:
                 at_lo = lax.le(lam_m[i], tol_sc)
-                free.append(lax.bitwise_and(lax.bitwise_not(at_lo), valid[i]))
+                free.append(_andv(lax.bitwise_not(at_lo), i))
                 fr_bound.append(None)
                 s_sign.append(None)
+                pin_val.append(None)
         Ffloat = [T.where(free[i], 1.0, None) for i in range(D)]
         fbm = [
             T.mul(T.mul(T.where(fr_bound[i], 1.0, None), s_sign[i]), mu_row[i])
@@ -988,9 +1077,11 @@ def _tile_lcp(J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters, pa
             for a, ea in J_rows[i].items():
                 for b_, xb in Xi.items():
                     S[a][b_] = T.add(S[a][b_], T.mul(ea, xb))
-        # rhs r = -F (b + A c); all pinned rows sit at c = 0 in the supported
-        # subset (contacts/limits at lo = 0, friction via the T coupling), so
-        # r = -F b.
+        # rhs: contacts/limits pin at 0 and friction rides the B coupling, so
+        # r = -F b; constant-box rows pin at c_pin = +-c != 0, which enters
+        # the u-space elimination as an extra cfm*c_pin term:
+        #   lam = (I+B) F x + c_pin,  M u = J^T lam,  x = (r - F J u)/cfm
+        #   =>  S u = J^T [(I+B) r + cfm c_pin],  S = cfm M + J^T (I+B) F J
         r = [T.mul(Ffloat[i], T.neg(b_vec[i])) for i in range(D)]
         rhs_u = [None] * nv
         # (I+B) r: friction-bound row i gains s_i mu_i r_{n(i)}
@@ -999,6 +1090,8 @@ def _tile_lcp(J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters, pa
             t = r[i]
             if is_fr[i]:
                 t = T.add(t, T.mul(fbm[i], r[fidx[i]]))
+            if pin_val[i] is not None:
+                t = T.add(t, T.mul(cfm, pin_val[i]))
             IBr.append(t)
         for i in range(D):
             if IBr[i] is None:
@@ -1018,6 +1111,8 @@ def _tile_lcp(J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters, pa
             t = x[i]
             if is_fr[i]:
                 t = T.add(t, T.mul(fbm[i], x[fidx[i]]))
+            if pin_val[i] is not None:
+                t = T.add(t, pin_val[i])  # at-bound box rows sit at +-c
             lam_new.append(t)
         # project onto moving box
         return [clip_row(i, lam_new[i], lam_new) for i in range(D)]
