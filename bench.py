@@ -1,25 +1,37 @@
 #!/usr/bin/env python
 """Benchmark harness: batched half-cheetah env-steps/sec (fwd and fwd+grad).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints result JSON lines of the form
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+The LAST such line is the authoritative result.
 
 Primary metric (BASELINE.json): env-steps/sec/chip fwd+grad on batched
 half-cheetah; baseline target = 1,000,000 on a v5e-8 (we report per-chip).
-Runs on whatever jax.default_backend() is (TPU under the driver).
 
-WATCHDOG ARCHITECTURE (round-4 hardening; BENCH_r03 recorded 0 because the
-TPU tunnel refused init, and this session's relay HANGS backend init
-indefinitely — a module-level ``import jax`` + devices() would wedge the
-driver forever):
-- The parent process is jax-free. It first PROBES backend init in a short
-  subprocess (bounded, retried once), then runs the measurement in a
-  subprocess with a hard timeout (2 attempts; the second benefits from the
-  compile cache the first populated).
-- The measurement child appends each completed section to a partial-results
-  file, so a timeout mid-run still yields the sections that finished.
-- On total failure the parent emits an honest bounded-time error JSON line
-  instead of hanging or dying silently.
+STREAMING WATCHDOG ARCHITECTURE (round-5 hardening).
+History of driver-visible failures this harness must survive:
+  r01: TPU backend FailedPrecondition mid-run            -> rc=1, traceback
+  r03: axon relay down, backend init raises               -> value 0 line
+  r04: driver wall-clock timeout killed the process tree  -> rc=124, EMPTY
+       tail, because the round-4 parent captured the child's stdout and
+       only printed at the very end. The measurement itself had completed
+       5 sections (21.1M cheetah fused fwd+grad) — all lost.
+Design that fixes all three:
+- The parent process is jax-free and NEVER buffers: the measurement child's
+  stdout is relayed line-by-line to our stdout the moment each line is
+  produced, so whatever the driver's timeout is, every completed section's
+  result line is already in the captured tail when the SIGKILL lands.
+- The child emits a FULL result line after EVERY completed section, with
+  monotonically growing "extra". Sections are ordered by importance:
+  (1) primary cheetah fwd+grad, (2) Atlas fwd+grad [the 50k target],
+  (3) Atlas fwd, (4) per-step Jacobians, (5) hybrid fused humanoid,
+  (6) param-grads. A kill after section k keeps sections 1..k.
+- Backend probe is bounded (240 s, one retry). If the TPU relay is down
+  (hangs init — observed r03 and at round-5 build time), we fall back to a
+  SCRUBBED pure-CPU measurement of a reduced config, honestly labeled
+  extra.backend="cpu" — a real number beats a zero.
+- Each completed section also appends to .bench_partial.json as a belt-and-
+  braces record.
 
 The primary measured path is the fused Pallas tile step (ops/pallas_step.py):
 the whole constrained timestep — FK, dynamics, collision, boxed LCP — runs as
@@ -31,18 +43,19 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _PARTIAL = os.path.join(_HERE, ".bench_partial.json")
 _METRIC = "halfcheetah env-steps/sec/chip (fwd+grad, B=4096)"
 
-_PROBE_TIMEOUT_S = 300
-_MEASURE_TIMEOUTS_S = (2700, 1200)
+_PROBE_TIMEOUT_S = 240
+_MEASURE_TIMEOUT_S = 3300  # generous; streaming makes driver timeouts safe
 
 
 # --------------------------------------------------------------------------
-# parent (watchdog) side: jax-free
+# parent (watchdog) side: jax-free, unbuffered relay
 # --------------------------------------------------------------------------
 
 
@@ -71,94 +84,134 @@ def _load_partial():
         return None
 
 
-def _run_child(flag: str, timeout_s: int):
-    """Run this file with `flag` in a child; return (rc, stdout, stderr).
+def _scrubbed_cpu_env() -> dict:
+    """Pure-CPU env immune to the axon relay (same scrub as __graft_entry__)."""
+    env = dict(os.environ)
+    parts = [
+        p
+        for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and ".axon_site" not in p
+    ]
+    if parts:
+        env["PYTHONPATH"] = os.pathsep.join(parts)
+    else:
+        env.pop("PYTHONPATH", None)
+    for k in (
+        "JAX_PLATFORMS",
+        "JAX_PLATFORM_NAME",
+        "JAX_COMPILATION_CACHE_DIR",
+        "PALLAS_AXON_POOL_IPS",
+        "PALLAS_AXON_REMOTE_COMPILE",
+        "PALLAS_AXON_TPU_GEN",
+        "AXON_LOOPBACK_RELAY",
+    ):
+        env.pop(k, None)
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
 
-    rc=-1 encodes a timeout. The child inherits the ambient environment —
-    it MUST see the real TPU plumbing; the hardening is the timeout, not a
-    scrub."""
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), flag],
-            capture_output=True,
-            text=True,
-            timeout=timeout_s,
-        )
-        return proc.returncode, proc.stdout, proc.stderr
-    except subprocess.TimeoutExpired as e:
-        return -1, (e.stdout or ""), (e.stderr or "")
 
+def _run_streaming(args, timeout_s, env=None):
+    """Run a child, relaying its stdout lines to ours IMMEDIATELY.
 
-def _last_json_line(stdout: str):
-    for line in reversed(stdout.strip().splitlines()):
+    Returns (rc, saw_result_line). rc=-1 encodes a timeout (child killed).
+    stderr is relayed too (the driver's tail captures both) but rate-capped.
+    """
+    proc = subprocess.Popen(
+        [sys.executable, "-u"] + args,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        env=env,
+    )
+    saw_result = [False]
+
+    def _pump(stream, is_out):
         try:
-            d = json.loads(line)
-            if isinstance(d, dict) and "metric" in d:
-                return d
+            for line in iter(stream.readline, ""):
+                line = line.rstrip("\n")
+                if is_out:
+                    print(line, flush=True)
+                    if '"metric"' in line:
+                        saw_result[0] = True
+                else:
+                    # keep stderr visible but bounded per line
+                    sys.stderr.write(line[:500] + "\n")
+                    sys.stderr.flush()
         except Exception:
-            continue
-    return None
+            pass
+
+    t_out = threading.Thread(target=_pump, args=(proc.stdout, True), daemon=True)
+    t_err = threading.Thread(target=_pump, args=(proc.stderr, False), daemon=True)
+    t_out.start()
+    t_err.start()
+    try:
+        rc = proc.wait(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        try:
+            proc.wait(timeout=10)
+        except Exception:
+            pass
+        rc = -1
+    t_out.join(timeout=5)
+    t_err.join(timeout=5)
+    return rc, saw_result[0]
+
+
+def _probe_backend():
+    """Bounded probe of the ambient (TPU) backend. True if usable."""
+    me = os.path.abspath(__file__)
+    for _ in range(2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-u", me, "--probe"],
+                capture_output=True,
+                text=True,
+                timeout=_PROBE_TIMEOUT_S,
+            )
+            if proc.returncode == 0 and "probe-ok" in proc.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 def main() -> None:
     t0 = time.time()
-    errs = []
+    me = os.path.abspath(__file__)
+    try:
+        os.remove(_PARTIAL)
+    except OSError:
+        pass
 
-    # 1) probe: can the backend initialise at all, in bounded time?
-    probed = None
-    for attempt in range(2):
-        rc, out, err = _run_child("--probe", _PROBE_TIMEOUT_S)
-        if rc == 0 and "probe-ok" in out:
-            probed = out.strip().splitlines()[-1]
-            break
-        errs.append(
-            f"probe attempt {attempt + 1}: "
-            + ("timeout" if rc == -1 else f"rc={rc}")
-            + f" [{err.strip()[-300:]}]"
-        )
-    if probed is None:
+    if _probe_backend():
+        rc, saw = _run_streaming([me, "--measure"], _MEASURE_TIMEOUT_S)
+        if saw:
+            return  # result lines already on stdout; last one wins
+        # child died before its first section: one retry (compiles cached)
+        rc, saw = _run_streaming([me, "--measure"], _MEASURE_TIMEOUT_S // 2)
+        if saw:
+            return
         _emit(
             _error_line(
-                "backend init probe failed/hung twice "
-                f"(timeout {_PROBE_TIMEOUT_S}s each; axon relay down?): "
-                + " | ".join(errs),
+                f"measure child produced no result line twice (last rc={rc})",
                 partial=_load_partial(),
             )
         )
         return
 
-    # 2) measure, with retry; partial results survive a mid-run timeout
-    try:
-        os.remove(_PARTIAL)
-    except OSError:
-        pass
-    for attempt, tmo in enumerate(_MEASURE_TIMEOUTS_S):
-        rc, out, err = _run_child("--measure", tmo)
-        line = _last_json_line(out)
-        if rc == 0 and line is not None:
-            line.setdefault("extra", {})["wall_s"] = round(time.time() - t0, 1)
-            _emit(line)
-            return
-        errs.append(
-            f"measure attempt {attempt + 1}: "
-            + ("timeout" if rc == -1 else f"rc={rc}")
-            + f" [{err.strip()[-500:]}]"
+    # TPU relay down/hanging: honest CPU fallback, clearly labeled.
+    env = _scrubbed_cpu_env()
+    rc, saw = _run_streaming([me, "--measure", "--cpu-fallback"], 1500, env=env)
+    if not saw:
+        _emit(
+            _error_line(
+                "TPU backend init hung/failed twice "
+                f"({_PROBE_TIMEOUT_S}s probes; axon relay down) and the CPU "
+                f"fallback also failed (rc={rc})",
+                partial=_load_partial(),
+            )
         )
-
-    # 3) bounded-time failure: report what DID finish
-    partial = _load_partial()
-    if partial and partial.get("value"):
-        line = {
-            "metric": _METRIC,
-            "value": partial["value"],
-            "unit": "env-steps/sec",
-            "vs_baseline": round(partial["value"] / 1_000_000.0, 4),
-            "extra": partial.get("extra", {}),
-            "note": "partial: later sections timed out — " + " | ".join(errs)[:800],
-        }
-        _emit(line)
-    else:
-        _emit(_error_line(" | ".join(errs), partial=partial))
 
 
 # --------------------------------------------------------------------------
@@ -176,15 +229,25 @@ def _probe() -> None:
     print("probe-ok", flush=True)
 
 
-class _Partial:
-    """Append-as-you-go result file so a watchdog timeout keeps finished
-    sections."""
+class _Result:
+    """Monotone result accumulator: emits a full line after every section."""
 
     def __init__(self):
         self.value = None
         self.extra = {}
 
-    def save(self):
+    def line(self):
+        v = self.value or 0
+        return {
+            "metric": _METRIC,
+            "value": v,
+            "unit": "env-steps/sec",
+            "vs_baseline": round(v / 1_000_000.0, 4),
+            "extra": self.extra,
+        }
+
+    def checkpoint(self):
+        print(json.dumps(self.line()), flush=True)
         try:
             with open(_PARTIAL, "w") as f:
                 json.dump({"value": self.value, "extra": self.extra}, f)
@@ -200,12 +263,12 @@ def _timeit(fn, out_extract, iters=5):
     return (time.perf_counter() - t0) / iters
 
 
-def measure() -> None:
+def measure(cpu_fallback: bool = False) -> None:
     import jax
 
     # persistent compile cache: the fused-kernel and constrained-rollout grad
     # programs are expensive to compile on the remote-compile tunnel
-    cache = os.path.join(_HERE, ".jax_cache", "device")
+    cache = os.path.join(_HERE, ".jax_cache", "cpu-fb" if cpu_fallback else "device")
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
@@ -216,10 +279,10 @@ def measure() -> None:
     from diffdart_tpu.models.half_cheetah import half_cheetah, cheetah_init_q
     from diffdart_tpu.sim import rollout, rollout_checkpointed
 
-    part = _Partial()
+    res = _Result()
 
-    B = 4096
-    T = 50
+    B = 1024 if cpu_fallback else 4096
+    T = 20 if cpu_fallback else 50
     m = half_cheetah(dt=2e-3)
     q0 = cheetah_init_q(m)
     dtype = m.mass.dtype
@@ -229,10 +292,12 @@ def measure() -> None:
     key = jax.random.PRNGKey(0)
     taus = 0.1 * jax.random.normal(key, (T, B, m.nv), dtype)
 
-    extra = part.extra
+    extra = res.extra
     extra.update({"backend": jax.default_backend(), "batch": B, "horizon": T, "nv": m.nv})
+    if cpu_fallback:
+        extra["note"] = "TPU relay down at bench time; CPU fallback (reduced config)"
 
-    # ---------------- primary: fused Pallas tile path ----------------
+    # ------------- section 1 (primary): fused Pallas tile path -------------
     sps_fwd = sps_grad = None
     try:
         from diffdart_tpu.ops.pallas_step import make_bench_fns, to_tiles
@@ -252,10 +317,8 @@ def measure() -> None:
         extra["path"] = "pallas_fused_tile"
     except Exception as e:  # noqa: BLE001 — fall back to the vmap path
         extra["pallas_error"] = f"{type(e).__name__}: {e}"[:500]
-    part.save()
 
-    # ---------------- fallback / reference: vmap path ----------------
-    if sps_grad is None:
+    if sps_grad is None:  # fallback / reference: vmap path
         roll = jax.jit(jax.vmap(lambda s, t: rollout(m, s, t), in_axes=(0, 1)))
 
         def loss(taus):
@@ -273,46 +336,22 @@ def measure() -> None:
         extra["path"] = "vmap"
 
     extra["fwd_env_steps_per_sec"] = round(sps_fwd)
-    part.value = round(sps_grad)
-    part.save()
+    res.value = round(sps_grad)
+    res.checkpoint()  # <- primary metric is now on stdout, whatever happens later
 
-    # secondary metric: Atlas-class humanoid (30 DOF) contact step rate
-    # (FREE-joint models stay on the vmap path)
+    # -------- section 2: Atlas fwd+grad — the BASELINE metric as written ----
+    # (full contact solve + gradients: BPTT through a contact rollout, grad
+    # wrt the control tape). Measured-best honest config (see PARITY.md):
+    # batch amortizes per-step overheads, contact_budget=16 keeps the LCP at
+    # the 16 deepest of the humanoid's 33 static slots (both feet = 16 box
+    # corners; semantics gated by tests/test_stack.py).
     try:
         from diffdart_tpu.models.humanoid import humanoid, humanoid_init_q
 
-        mh = humanoid(dt=2e-3)
-        Bh, Th = 256, 10
-        bh = State(
-            q=jnp.tile(humanoid_init_q(mh), (Bh, 1)),
-            v=jnp.zeros((Bh, mh.nv), dtype),
-            t=jnp.zeros(Bh, dtype),
-        )
-        rollh = jax.jit(jax.vmap(lambda s: rollout(mh, s, jnp.zeros((Th, mh.nv), dtype))[0]))
-        rollh(bh).q.block_until_ready()
-        t_atlas = _timeit(lambda: rollh(bh), lambda o: o.q)
-        extra["atlas_humanoid_steps_per_sec"] = round(Bh * Th / t_atlas)
-        extra["atlas_vs_50k_target"] = round(Bh * Th / t_atlas / 50_000.0, 4)
-    except Exception as e:  # noqa: BLE001
-        extra["atlas_error"] = f"{type(e).__name__}: {e}"[:300]
-    part.save()
-
-    # the BASELINE metric AS WRITTEN: full contact solve + gradients.
-    # (a) fwd+grad: BPTT through a 10-step contact rollout, grad wrt the
-    #     control tape; (b) per-step Jacobians: timestep_jacobians (the
-    #     reference's BackpropSnapshot.getPosPos/PosVel/VelVel/... set)
-    #     computed every step.
-    try:
         Th = 10
-        # measured-best honest config for the gradient workload (see
-        # PARITY.md): batch amortizes per-step overheads, contact_budget=16
-        # keeps the LCP at the 16 deepest of the humanoid's 33 static slots
-        # (both feet = 16 box corners; semantics gated by tests/test_stack.py)
-        from diffdart_tpu.models.humanoid import humanoid, humanoid_init_q
-
         mh = humanoid(dt=2e-3)
         mg = mh.replace(contact_budget=16)
-        Bg = 1024
+        Bg = 256 if cpu_fallback else 1024
         bg = State(
             q=jnp.tile(humanoid_init_q(mg), (Bg, 1)),
             v=jnp.zeros((Bg, mg.nv), dtype),
@@ -331,59 +370,43 @@ def measure() -> None:
         t_ag = _timeit(lambda: gradh(tausH), lambda o: o, iters=3)
         extra["atlas_fwdgrad_steps_per_sec"] = round(Bg * Th / t_ag)
         extra["atlas_fwdgrad_vs_50k_target"] = round(Bg * Th / t_ag / 50_000.0, 4)
-        extra["atlas_fwdgrad_config"] = "B=1024, contact_budget=16, T=10 BPTT"
+        extra["atlas_fwdgrad_config"] = f"B={Bg}, contact_budget=16, T=10 BPTT"
     except Exception as e:  # noqa: BLE001
         extra["atlas_fwdgrad_error"] = f"{type(e).__name__}: {e}"[:300]
-    part.save()
+    res.checkpoint()
 
-    # r4: the fused HYBRID humanoid (tile FK/dynamics/assembly + batched
-    # lowrank LCP, contact_budget=16 gathered per env) — the candidate to
-    # close the last 8% of the 50k Atlas fwd+grad target. Trace is ~97s
-    # since the lax-bind rewrite of ops/tile.py; the compile is cached.
+    # ---------------- section 3: Atlas forward step rate -------------------
     try:
         from diffdart_tpu.models.humanoid import humanoid, humanoid_init_q
-        from diffdart_tpu.sim.tilestep import build_tile_step
 
         mh = humanoid(dt=2e-3)
-        mg = mh.replace(contact_budget=16)
-        Bh2, Th2 = 1024, 10
-        Sh, Lh = 8, Bh2 // 8
-        tstep = build_tile_step(mg, output="tiles", lcp="xla")
-        qh = jnp.tile(humanoid_init_q(mg), (Bh2, 1))
-        vh = jnp.zeros((Bh2, mg.nv), dtype)
-
-        def toT(x):
-            t = x.T.reshape(x.shape[1], Sh, Lh)
-            return tuple(t[i] for i in range(x.shape[1]))
-
-        qt0, vt0 = toT(qh), toT(vh)
-        tauh = jnp.zeros((Th2, Bh2, mg.nv), dtype)
-
-        def loss_hy(taus):
-            def body(c, tau):
-                qn, vn = tstep(c[0], c[1], toT(tau))
-                return (qn, vn), None
-
-            (qf, vf), _ = jax.lax.scan(body, (qt0, vt0), taus)
-            return sum(jnp.mean(x**2) for x in vf) + jnp.mean(qf[2] ** 2)
-
-        ghy = jax.jit(jax.grad(loss_hy))
-        ghy(tauh).block_until_ready()
-        t_hy = _timeit(lambda: ghy(tauh), lambda o: o, iters=3)
-        extra["atlas_hybrid_fwdgrad_steps_per_sec"] = round(Bh2 * Th2 / t_hy)
-        extra["atlas_hybrid_fwdgrad_vs_50k_target"] = round(
-            Bh2 * Th2 / t_hy / 50_000.0, 4
+        Bh, Th = 256, 10
+        bh = State(
+            q=jnp.tile(humanoid_init_q(mh), (Bh, 1)),
+            v=jnp.zeros((Bh, mh.nv), dtype),
+            t=jnp.zeros(Bh, dtype),
         )
+        rollh = jax.jit(jax.vmap(lambda s: rollout(mh, s, jnp.zeros((Th, mh.nv), dtype))[0]))
+        rollh(bh).q.block_until_ready()
+        t_atlas = _timeit(lambda: rollh(bh), lambda o: o.q)
+        extra["atlas_humanoid_steps_per_sec"] = round(Bh * Th / t_atlas)
+        extra["atlas_vs_50k_target"] = round(Bh * Th / t_atlas / 50_000.0, 4)
     except Exception as e:  # noqa: BLE001
-        extra["atlas_hybrid_error"] = f"{type(e).__name__}: {e}"[:300]
-    part.save()
+        extra["atlas_error"] = f"{type(e).__name__}: {e}"[:300]
+    res.checkpoint()
 
+    # --------- section 4: per-step 6-Jacobian BackpropSnapshot set ----------
+    # (skipped on the CPU fallback: the humanoid jacrev program takes >20 min
+    # to compile on a 1-vCPU host — observed r5 — and the number is not
+    # meaningful off-TPU anyway)
     try:
+        if cpu_fallback:
+            raise RuntimeError("skipped on cpu fallback")
         from diffdart_tpu.models.humanoid import humanoid, humanoid_init_q
         from diffdart_tpu.neural.jacobians import timestep_jacobians
 
         mh = humanoid(dt=2e-3)
-        Bj = 256
+        Bj = 64 if cpu_fallback else 256
         bj = State(
             q=jnp.tile(humanoid_init_q(mh), (Bj, 1)),
             v=jnp.zeros((Bj, mh.nv), dtype),
@@ -396,11 +419,53 @@ def measure() -> None:
         extra["atlas_jacobians_vs_50k_target"] = round(Bj / t_aj / 50_000.0, 4)
     except Exception as e:  # noqa: BLE001
         extra["atlas_jacobians_error"] = f"{type(e).__name__}: {e}"[:300]
-    part.save()
+    res.checkpoint()
 
-    # parameter-gradient (WithRespectTo) throughput: grad of a rollout loss
-    # wrt MODEL parameters (mass) — runs on the vmap path by design
-    # (rollout_fast's dispatch: the fused path bakes params as constants)
+    # --------- section 5: fused HYBRID humanoid (tile FK + lowrank LCP) -----
+    # the candidate to close the 50k Atlas fwd+grad target; ~97 s trace since
+    # the lax-bind rewrite of ops/tile.py, big compile (cached after first).
+    if not cpu_fallback:
+        try:
+            from diffdart_tpu.models.humanoid import humanoid, humanoid_init_q
+            from diffdart_tpu.sim.tilestep import build_tile_step
+
+            mh = humanoid(dt=2e-3)
+            mg = mh.replace(contact_budget=16)
+            Bh2, Th2 = 1024, 10
+            Sh, Lh = 8, Bh2 // 8
+            tstep = build_tile_step(mg, output="tiles", lcp="xla")
+            qh = jnp.tile(humanoid_init_q(mg), (Bh2, 1))
+            vh = jnp.zeros((Bh2, mg.nv), dtype)
+
+            def toT(x):
+                t = x.T.reshape(x.shape[1], Sh, Lh)
+                return tuple(t[i] for i in range(x.shape[1]))
+
+            qt0, vt0 = toT(qh), toT(vh)
+            tauh = jnp.zeros((Th2, Bh2, mg.nv), dtype)
+
+            def loss_hy(taus):
+                def body(c, tau):
+                    qn, vn = tstep(c[0], c[1], toT(tau))
+                    return (qn, vn), None
+
+                (qf, vf), _ = jax.lax.scan(body, (qt0, vt0), taus)
+                return sum(jnp.mean(x**2) for x in vf) + jnp.mean(qf[2] ** 2)
+
+            ghy = jax.jit(jax.grad(loss_hy))
+            ghy(tauh).block_until_ready()
+            t_hy = _timeit(lambda: ghy(tauh), lambda o: o, iters=3)
+            extra["atlas_hybrid_fwdgrad_steps_per_sec"] = round(Bh2 * Th2 / t_hy)
+            extra["atlas_hybrid_fwdgrad_vs_50k_target"] = round(
+                Bh2 * Th2 / t_hy / 50_000.0, 4
+            )
+        except Exception as e:  # noqa: BLE001
+            extra["atlas_hybrid_error"] = f"{type(e).__name__}: {e}"[:300]
+        res.checkpoint()
+
+    # --------- section 6: parameter-gradient (WithRespectTo) throughput -----
+    # grad of a rollout loss wrt MODEL parameters (mass) — vmap path by
+    # design (rollout_fast's dispatch: the fused path bakes params constant)
     try:
         Bp, Tp = 256, 10
         bp = State(q=qs[:Bp], v=vs[:Bp], t=jnp.zeros(Bp, dtype))
@@ -419,16 +484,7 @@ def measure() -> None:
         extra["cheetah_paramgrad_steps_per_sec"] = round(Bp * Tp / t_pg)
     except Exception as e:  # noqa: BLE001
         extra["paramgrad_error"] = f"{type(e).__name__}: {e}"[:300]
-    part.save()
-
-    result = {
-        "metric": _METRIC,
-        "value": round(sps_grad),
-        "unit": "env-steps/sec",
-        "vs_baseline": round(sps_grad / 1_000_000.0, 4),
-        "extra": extra,
-    }
-    print(json.dumps(result), flush=True)
+    res.checkpoint()
 
 
 if __name__ == "__main__":
@@ -436,7 +492,7 @@ if __name__ == "__main__":
         _probe()
     elif len(sys.argv) > 1 and sys.argv[1] == "--measure":
         try:
-            measure()
+            measure(cpu_fallback="--cpu-fallback" in sys.argv)
         except BaseException as e:  # noqa: BLE001
             # still emit a JSON line so a clean-exit child is always parseable
             print(

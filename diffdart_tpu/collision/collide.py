@@ -32,8 +32,11 @@ _DISPATCH = {
     (_G.BOX, _G.PLANE): (NP.box_plane, 8),
     (_G.BOX, _G.BOX): (NP.box_box, 8),
     (_G.CYLINDER, _G.PLANE): (NP.cylinder_plane, 8),
-    # cylinder vs non-plane: capsule approximation of the same radius/length
-    (_G.CYLINDER, _G.SPHERE): (lambda Ra, pa, sa, Rb, pb, sb: _swap(NP.sphere_capsule(Rb, pb, sb, Ra, pa, sa)), 1),
+    # true flat-cap cylinder-sphere (collideCylinderSphere parity, r5)
+    (_G.CYLINDER, _G.SPHERE): (lambda Ra, pa, sa, Rb, pb, sb: _swap(NP.sphere_cylinder(Rb, pb, sb, Ra, pa, sa)), 1),
+    # cylinder vs capsule/box/cylinder: capsule approximation of the same
+    # radius/length (beyond the reference's pair table — it has no
+    # cylinder-box/cylinder-cylinder narrowphase at all)
     (_G.CYLINDER, _G.CAPSULE): (NP.capsule_capsule, 1),
     (_G.CYLINDER, _G.BOX): (NP.capsule_box, 3),
     (_G.CYLINDER, _G.CYLINDER): (NP.capsule_capsule, 1),

@@ -83,6 +83,57 @@ def sphere_capsule(Ra, pa, sa, Rb, pb, sb):
     return sphere_sphere(Ra, pa, sa, Rb, closest, jnp.array([rc, 0.0, 0.0], sa.dtype))
 
 
+def sphere_cylinder(Ra, pa, sa, Rb, pb, sb):
+    """A = sphere, B = cylinder (axis = B z, radius sb[0], half-height sb[1]).
+
+    Parity: collideCylinderSphere (DARTCollide.cpp) — true flat-capped
+    cylinder contact (lateral wall, cap face, and rim edge all emerge from
+    the clamp), replacing the r4 capsule approximation. Handles
+    center-outside (closest point on the solid cylinder) and center-inside
+    (nearest-feature push-out) branchlessly, NaN-safe on the axis."""
+    r = sa[0]
+    rc, h = sb[0], sb[1]
+    c = Rb.T @ (pa - pb)  # sphere center in cylinder frame
+    ez = jnp.array([0.0, 0.0, 1.0], c.dtype)
+    rho2 = c[0] * c[0] + c[1] * c[1]
+    rho = jnp.sqrt(jnp.maximum(rho2, 1e-18))
+    on_axis = rho2 < 1e-16
+    e_r = jnp.where(
+        on_axis,
+        jnp.array([1.0, 0.0, 0.0], c.dtype),
+        jnp.array([c[0], c[1], 0.0], c.dtype) / rho,
+    )
+    # closest point on the SOLID cylinder to c (the outside case; the clamp
+    # lands on the wall, the cap, or the rim edge as appropriate). Scale the
+    # actual xy (exact 0 on the axis — no e_r epsilon leak) instead of e_r.
+    s_xy = jnp.minimum(1.0, rc / rho)
+    q = jnp.array([c[0] * s_xy, c[1] * s_xy, 0.0], c.dtype) + ez * jnp.clip(c[2], -h, h)
+    delta = c - q
+    dist2 = jnp.sum(delta * delta)
+    outside = dist2 > 1e-16
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-18))
+    n_out = delta / dist
+    depth_out = r - dist
+    # inside: push along lateral wall vs nearer cap, whichever is closer
+    d_lat = rc - rho
+    d_cap = h - jnp.abs(c[2])
+    lat = d_lat <= d_cap
+    sign = jnp.where(c[2] >= 0, 1.0, -1.0)
+    n_in = jnp.where(lat, e_r, ez * sign)
+    depth_in = r + jnp.where(lat, d_lat, d_cap)
+    surf_in = jnp.where(
+        lat,
+        e_r * rc + ez * c[2],
+        jnp.array([c[0], c[1], 0.0], c.dtype) + ez * (sign * h),
+    )
+    n_local = jnp.where(outside, n_out, n_in)
+    depth = jnp.where(outside, depth_out, depth_in)
+    surf_local = jnp.where(outside, q, surf_in)
+    n = Rb @ n_local
+    pos = Rb @ surf_local + pb
+    return _stack1(pos, n, depth, depth > 0)
+
+
 def capsule_plane(Ra, pa, sa, Rb, pb, sb):
     """A = capsule, B = plane: 2 candidate contacts at the end spheres."""
     r, hl = sa[0], sa[1]

@@ -4,7 +4,11 @@ Capability parity with utils::SdfParser (dart/utils/SdfParser.cpp — SURVEY.md
 §2.3, listed optional): the practical subset — <model> with <link> elements
 posed in the model frame, typed <joint>s (revolute/prismatic/ball/universal/
 fixed/free), joint <pose> expressed in the CHILD link frame (SDF convention,
-same re-anchoring math as the .skel loader), axis xyz + limits + dynamics.
+same re-anchoring math as the .skel loader), axis xyz + limits + dynamics,
+<static> models (geoms anchored to the world), per-collision
+<surface><friction><ode><mu> / <bounce><restitution_coefficient>, and the
+full geometry set incl. <ellipsoid> and <mesh><uri> (convex-hulled via
+io/mesh.py, same path as the URDF loader).
 """
 from __future__ import annotations
 
@@ -58,33 +62,80 @@ def _inv(R, p):
     return R.T, -R.T @ p
 
 
-def _parse_geometry(geo):
+def _parse_geometry(geo, mesh_dir=None):
+    """-> (GeomType, size, verts|None) or None."""
     if geo is None:
         return None
     if geo.find("box") is not None:
         size = _floats(geo.find("box").find("size").text) / 2.0
-        return GeomType.BOX, size
+        return GeomType.BOX, size, None
     if geo.find("sphere") is not None:
-        return GeomType.SPHERE, np.array([float(geo.find("sphere").find("radius").text), 0, 0])
+        return GeomType.SPHERE, np.array([float(geo.find("sphere").find("radius").text), 0, 0]), None
     if geo.find("cylinder") is not None:
         c = geo.find("cylinder")
         r = float(c.find("radius").text)
         L = float(c.find("length").text)
-        return GeomType.CYLINDER, np.array([r, L / 2.0, 0])
+        return GeomType.CYLINDER, np.array([r, L / 2.0, 0]), None
     if geo.find("capsule") is not None:
         c = geo.find("capsule")
         r = float(c.find("radius").text)
         L = float(c.find("length").text)
-        return GeomType.CAPSULE, np.array([r, L / 2.0, 0])
+        return GeomType.CAPSULE, np.array([r, L / 2.0, 0]), None
+    if geo.find("ellipsoid") is not None:
+        radii = _floats(geo.find("ellipsoid").find("radii").text)
+        return GeomType.ELLIPSOID, radii, None
     if geo.find("plane") is not None:
-        return GeomType.PLANE, np.zeros(3)
+        return GeomType.PLANE, np.zeros(3), None
+    m_el = geo.find("mesh")
+    if m_el is not None:
+        from diffdart_tpu.io.mesh import load_mesh
+        from diffdart_tpu.io.urdf import resolve_mesh_path
+
+        uri = m_el.find("uri")
+        if uri is None or not uri.text:
+            return None
+        scale = np.ones(3)
+        sc = m_el.find("scale")
+        if sc is not None and sc.text:
+            scale = _floats(sc.text)
+        path = resolve_mesh_path(uri.text.strip(), mesh_dir)
+        verts, _faces = load_mesh(path, scale=scale)
+        return GeomType.CONVEX, (verts.max(0) - verts.min(0)) / 2.0, verts
     return None
 
 
+def _surface_params(col, friction, restitution):
+    """Per-collision <surface> overrides (SdfParser surface handling)."""
+    surf = col.find("surface")
+    if surf is None:
+        return friction, restitution
+    fr = surf.find("friction")
+    if fr is not None:
+        ode = fr.find("ode")
+        mu = ode.find("mu") if ode is not None else None
+        if mu is not None and mu.text:
+            friction = float(mu.text)
+    bo = surf.find("bounce")
+    if bo is not None:
+        rc = bo.find("restitution_coefficient")
+        if rc is not None and rc.text:
+            restitution = float(rc.text)
+    return friction, restitution
+
+
 def load_sdf_into_builder(builder, path_or_xml: str, model_name: str | None = None,
-                          friction: float = 0.8, restitution: float = 0.0):
-    """Load the first (or named) <model> of an SDF file/string."""
-    root = ET.parse(path_or_xml).getroot() if os.path.exists(path_or_xml) else ET.fromstring(path_or_xml)
+                          friction: float = 0.8, restitution: float = 0.0,
+                          mesh_dir: str | None = None):
+    """Load the first (or named) <model> of an SDF file/string.
+
+    mesh_dir: base directory for <mesh><uri> resolution (defaults to the
+    SDF file's directory when a path is given)."""
+    if os.path.exists(path_or_xml):
+        root = ET.parse(path_or_xml).getroot()
+        if mesh_dir is None:
+            mesh_dir = os.path.dirname(os.path.abspath(path_or_xml))
+    else:
+        root = ET.fromstring(path_or_xml)
     if root.tag == "sdf":
         # explicit None test: an Element's truth value is len(children)
         w = root.find("world")
@@ -98,13 +149,36 @@ def load_sdf_into_builder(builder, path_or_xml: str, model_name: str | None = No
         raise ValueError("no <model> found in SDF")
     first = None
     for mdl in models:
-        idx = _load_model(builder, mdl, friction, restitution)
+        idx = _load_model(builder, mdl, friction, restitution, mesh_dir)
         first = idx if first is None else first
     return first
 
 
-def _load_model(builder, mdl, friction, restitution):
+def _is_static(mdl):
+    st = mdl.find("static")
+    return st is not None and st.text is not None and st.text.strip().lower() in ("true", "1")
+
+
+def _load_model(builder, mdl, friction, restitution, mesh_dir=None):
     R_wm, p_wm = _pose(mdl)
+
+    if _is_static(mdl):
+        # static model (SdfParser static handling): every collision geom is
+        # anchored to the world at its world pose; no bodies, no joints
+        for link in mdl.findall("link"):
+            R_ml, p_ml = _pose(link)
+            R_wl, p_wl = _mul(R_wm, p_wm, R_ml, p_ml)
+            for col in link.findall("collision"):
+                Rg, pg = _pose(col)
+                parsed = _parse_geometry(col.find("geometry"), mesh_dir)
+                if parsed is None:
+                    continue
+                gtype, size, verts = parsed
+                fr, re_ = _surface_params(col, friction, restitution)
+                Rw, pw = _mul(R_wl, p_wl, Rg, pg)
+                builder.add_geom(-1, gtype, size=size, rot=Rw, pos=pw,
+                                 friction=fr, restitution=re_, verts=verts)
+        return None
 
     links = {}
     for link in mdl.findall("link"):
@@ -132,9 +206,10 @@ def _load_model(builder, mdl, friction, restitution):
         geoms = []
         for col in link.findall("collision"):
             Rg, pg = _pose(col)
-            parsed = _parse_geometry(col.find("geometry"))
+            parsed = _parse_geometry(col.find("geometry"), mesh_dir)
             if parsed is not None:
-                geoms.append((parsed[0], parsed[1], Rg, pg))
+                fr, re_ = _surface_params(col, friction, restitution)
+                geoms.append((parsed[0], parsed[1], Rg, pg, parsed[2], fr, re_))
         links[link.get("name")] = dict(R=R_wl, p=p_wl, mass=mass, com=com,
                                        moment=moment, geoms=geoms)
 
@@ -204,10 +279,10 @@ def _load_model(builder, mdl, friction, restitution):
             name=name,
         )
         body_idx[name] = idx
-        for (gtype, size, Rg, pg) in B["geoms"]:
+        for (gtype, size, Rg, pg, verts, fr, re_) in B["geoms"]:
             Rgj, pgj = _mul(R_jc, p_jc, Rg, pg)
             builder.add_geom(idx, gtype, size=size, rot=Rgj, pos=pgj,
-                             friction=friction, restitution=restitution)
+                             friction=fr, restitution=re_, verts=verts)
         return idx
 
     first = None

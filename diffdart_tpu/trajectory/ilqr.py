@@ -6,9 +6,14 @@ the north star: the entire solve (rollout, linearization via AD, Riccati
 backward sweep, line-searched forward sweep, iteration loop) is ONE jitted
 program built from lax.scan — no per-step host round-trips, no IPOPT.
 
-State is the flattened (q, v) vector (models with quaternion dofs work too:
-linearization treats q ambiently, which is exact for the scalar-joint models
-this solver targets; use tangent-space shooting for free-floating bases).
+State is the flattened (q, v) vector. For scalar-joint models the default
+Euclidean charts make this classical iLQR. For models with quaternion dofs
+(FREE/BALL joints) pass `tangent_ops(model)` — linearization, the Riccati
+sweep, and the feedback law then run in the 2·nv-dimensional tangent space
+(retraction = Skeleton::integratePositions, local difference =
+Skeleton::getPositionDifferences), which is the sound on-manifold iLQR for
+free-floating bases (r3 VERDICT missing #8: ambient-q linearization is
+rank-deficient along the quaternion-norm direction).
 """
 from __future__ import annotations
 
@@ -36,6 +41,30 @@ def _unpack(model: Model, x):
     return State(q=x[: model.nq], v=x[model.nq :], t=jnp.zeros((), x.dtype))
 
 
+def tangent_ops(model: Model):
+    """(retract, local_diff, tangent_dim) charts for iLQR on a model whose
+    configuration lives on a manifold (quaternion FREE/BALL joints).
+
+    retract(x, e): x ⊞ e with e = (dq ∈ R^nv, dv ∈ R^nv) — geometric
+    position integration (Skeleton::integratePositions parity).
+    local_diff(a, b): b ⊟ a — tangent-space difference
+    (Skeleton::getPositionDifferences parity). For scalar-joint models both
+    reduce exactly to +/- and iLQR behaves classically."""
+    from diffdart_tpu.dynamics import integrate_positions, position_difference
+
+    nq, nv = model.nq, model.nv
+
+    def retract(x, e):
+        q = integrate_positions(model, x[:nq], e[:nv], 1.0)
+        return jnp.concatenate([q, x[nq:] + e[nv:]])
+
+    def local_diff(a, b):
+        dq = position_difference(model, a[:nq], b[:nq])
+        return jnp.concatenate([dq, b[nq:] - a[nq:]])
+
+    return retract, local_diff, 2 * nv
+
+
 def make_dynamics(model: Model, control_map=None) -> Callable:
     """x_{t+1} = f(x_t, u_t) on flattened state. control_map lifts the control
     vector to full (nv,) generalized force (e.g. actuated-dof selector)."""
@@ -59,10 +88,15 @@ def ilqr(
     alphas=(1.0, 0.6, 0.3, 0.1, 0.03, 0.01),
     diagnose_model: Model | None = None,
     diagnose_control_map: Callable | None = None,
+    charts=None,
 ) -> ILQRResult:
     """Iterative LQR. f(x, u) -> x'; running_cost(x, u, t) -> scalar;
     terminal_cost(x) -> scalar. Everything jit-compatible; call under jit.
 
+    charts: optional (retract, local_diff, tangent_dim) triple — pass
+    `tangent_ops(model)` for models with quaternion dofs so linearization,
+    Riccati, and feedback run on the state manifold's tangent space. None =
+    Euclidean (classical iLQR; exact for scalar-joint models).
     diagnose_model: pass the physics Model behind `f` to check the contact
     solver's health along the optimized trajectory — a SolverStallWarning
     fires (at run time, jit-safe) if the LCP stalled anywhere, instead of
@@ -72,6 +106,13 @@ def ilqr(
     nx = x0.shape[0]
     dtype = x0.dtype
     alphas = jnp.asarray(alphas, dtype)
+    if charts is None:
+        retract = lambda x, e: x + e  # noqa: E731
+        local_diff = lambda a, b: b - a  # noqa: E731
+        nt = nx
+    else:
+        retract, local_diff, nt = charts
+    e0 = jnp.zeros(nt, dtype)
 
     def rollout_cost(us):
         def body(x, tu):
@@ -83,25 +124,39 @@ def ilqr(
         xs = jnp.concatenate([xs, xT[None]], axis=0)
         return xs, jnp.sum(cs) + terminal_cost(xT)
 
-    fx_fn = jax.jacobian(f, argnums=0)
-    fu_fn = jax.jacobian(f, argnums=1)
-    lx_fn = jax.grad(running_cost, argnums=0)
-    lu_fn = jax.grad(running_cost, argnums=1)
-    lxx_fn = jax.hessian(running_cost, argnums=0)
-    luu_fn = jax.hessian(running_cost, argnums=1)
-    lux_fn = jax.jacobian(jax.grad(running_cost, argnums=1), argnums=0)
-    vx_fn = jax.grad(terminal_cost)
-    vxx_fn = jax.hessian(terminal_cost)
+    zu = jnp.zeros(nu, dtype)
+
+    # all derivatives are taken in the tangent chart at the nominal point:
+    # e |-> local_diff(x̄', f(x̄ ⊞ e, ū + du)) for dynamics, e |-> cost(x̄ ⊞ e)
+    # for costs. With Euclidean charts these reduce to the classical ambient
+    # Jacobians/Hessians (retract/local_diff differentiate to identity).
+    def _dyn_jacs(x_bar, u_bar, x_next_bar):
+        def g(e, du):
+            return local_diff(x_next_bar, f(retract(x_bar, e), u_bar + du))
+
+        return jax.jacobian(g, argnums=(0, 1))(e0, zu)
+
+    def _run_derivs(x_bar, u_bar, t):
+        def c(e, du):
+            return running_cost(retract(x_bar, e), u_bar + du, t)
+
+        lx = jax.grad(c, argnums=0)(e0, zu)
+        lu = jax.grad(c, argnums=1)(e0, zu)
+        lxx = jax.hessian(c, argnums=0)(e0, zu)
+        luu = jax.hessian(c, argnums=1)(e0, zu)
+        lux = jax.jacobian(jax.grad(c, argnums=1), argnums=0)(e0, zu)
+        return lx, lu, lxx, luu, lux
+
+    def _term_derivs(x_bar):
+        def c(e):
+            return terminal_cost(retract(x_bar, e))
+
+        return jax.grad(c)(e0), jax.hessian(c)(e0)
 
     def backward(xs, us, reg):
-        fx = jax.vmap(fx_fn)(xs[:-1], us)
-        fu = jax.vmap(fu_fn)(xs[:-1], us)
+        fx, fu = jax.vmap(_dyn_jacs)(xs[:-1], us, xs[1:])
         ts = jnp.arange(T)
-        lx = jax.vmap(lx_fn)(xs[:-1], us, ts)
-        lu = jax.vmap(lu_fn)(xs[:-1], us, ts)
-        lxx = jax.vmap(lxx_fn)(xs[:-1], us, ts)
-        luu = jax.vmap(luu_fn)(xs[:-1], us, ts)
-        lux = jax.vmap(lux_fn)(xs[:-1], us, ts)
+        lx, lu, lxx, luu, lux = jax.vmap(_run_derivs)(xs[:-1], us, ts)
 
         def bstep(carry, inp):
             Vx, Vxx, ok = carry
@@ -120,7 +175,8 @@ def ilqr(
             Vxx_n = 0.5 * (Vxx_n + Vxx_n.T)
             return (Vx_n, Vxx_n, ok & good), (k, K)
 
-        init = (vx_fn(xs[-1]), vxx_fn(xs[-1]), jnp.array(True))
+        vx_T, vxx_T = _term_derivs(xs[-1])
+        init = (vx_T, vxx_T, jnp.array(True))
         (Vx, Vxx, ok), (ks, Ks) = jax.lax.scan(
             bstep, init, (fx, fu, lx, lu, lxx, luu, lux), reverse=True
         )
@@ -129,7 +185,7 @@ def ilqr(
     def forward(xs, us, ks, Ks, alpha):
         def body(x, inp):
             x_ref, u_ref, k, K, t = inp
-            u = u_ref + alpha * k + K @ (x - x_ref)
+            u = u_ref + alpha * k + K @ local_diff(x_ref, x)
             c = running_cost(x, u, t)
             return f(x, u), (x, u, c)
 

@@ -56,14 +56,12 @@ class RealTimeControlBuffer:
 class MPC:
     """Receding-horizon controller over the differentiable step.
 
-    f, running_cost, terminal_cost follow trajectory.ilqr conventions —
-    including ilqr's soundness scope: x must be an AMBIENT-vector state
-    (scalar-joint models, or a tangent-space wrapper around quaternion
-    states). For free-floating bases, wrap f so its state is a tangent
-    increment (neural/mappings or dynamics.position_difference/
-    integrate_positions) before handing it here; ilqr's ambient-q
-    linearization is not valid on raw quaternion coordinates
-    (trajectory/ilqr.py header).
+    f, running_cost, terminal_cost follow trajectory.ilqr conventions. For
+    models with quaternion dofs (free-floating bases, BALL joints) pass
+    `charts=tangent_ops(model)` — the inner iLQR then linearizes and feeds
+    back in the tangent space, which is the sound on-manifold formulation
+    (trajectory/ilqr.py header). Scalar-joint models need nothing (Euclidean
+    charts are exact).
 
     Call `solve(x, t)` each control period (or use `run` with a Ticker)."""
 
@@ -76,6 +74,7 @@ class MPC:
         nu: int,
         dt: float,
         iters_per_solve: int = 8,
+        charts=None,
     ):
         self.horizon = horizon
         self.nu = nu
@@ -85,7 +84,8 @@ class MPC:
         self._us_warm = jnp.zeros((horizon, nu))
 
         def _solve(x0, us_init):
-            return ilqr(f, running_cost, terminal_cost, x0, us_init, iters=iters_per_solve)
+            return ilqr(f, running_cost, terminal_cost, x0, us_init,
+                        iters=iters_per_solve, charts=charts)
 
         self._solve = jax.jit(_solve)
 

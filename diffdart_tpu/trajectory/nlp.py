@@ -11,9 +11,14 @@ dense-Jacobian SQP; the reference links a vendored Ipopt). The device does
 everything heavy: objective value+gradient and the defect Jacobian are one
 jitted JAX program each, evaluated on accelerator and shipped to the host
 as float64. The defect Jacobian is block-bidiagonal (d defect_k / d knot_j
-is nonzero only for j in {k-1, k} and the k-th control segment); SLSQP
-consumes it dense, which is the right trade at trajectory scale (tens of
-knots) — a sparse-IPOPT backend could slot in behind the same callbacks.
+is nonzero only for j in {k-1, k} and the k-th control segment), and is
+computed SEGMENT-WISE: a vmapped jacrev of each segment-end state wrt its
+own (start state, control slice) — K·nx reverse passes over S-step
+rollouts, a factor-K saving over jacrev of the full T-step flattening
+(this is exactly the sparsity IPOptShotWrapper::eval_jac_g exploits in the
+reference). The blocks are scattered into the dense matrix SLSQP consumes
+on the host; a sparse-IPOPT backend could slot in behind the same
+callbacks.
 
 Decision vector z = [ us.ravel() | knots.ravel() ] with knots the interior
 segment-start states, exactly the reference's MultiShot flattening
@@ -34,6 +39,64 @@ class NLPInfo(NamedTuple):
     message: str
     n_iter: int
     constraint_violation: float
+
+
+def _defect_jacobian_fns(ms: MultipleShooting, x0, dtype):
+    """(con_val, con_jac) for the defect equality constraints.
+
+    con_val: jitted device function z -> raveled defects ((K-1)*nx,).
+    con_jac: host function z -> dense float64 Jacobian, assembled from
+    segment-wise device blocks. defect_k = end_k - knot_k with
+    end_k = segment_rollout(start_k, u_k), start_0 = x0 (constant),
+    start_k = knot_{k-1}; only segments 0..K-2 feed defects, so the
+    Jacobian is block-bidiagonal: d defect_k/d u_seg_k, d defect_k/
+    d knot_{k-1}, and -I wrt knot_k. K·nx reverse passes over S-step
+    rollouts instead of (K-1)·nx passes over the full T-step program."""
+    T, K, S, nx, nu = ms.T, ms.K, ms.S, ms.nx, ms.nu
+    n_u = T * nu
+    n_k = (K - 1) * nx
+
+    def unpack(z):
+        return z[n_u:].reshape(K - 1, nx), z[:n_u].reshape(T, nu)
+
+    @jax.jit
+    def con_val(z):
+        knots, us = unpack(z)
+        _, defects, _ = ms._eval(knots, us, x0)
+        return defects.ravel()
+
+    @jax.jit
+    def seg_jac_blocks(z):
+        knots, us = unpack(z)
+        starts = jnp.concatenate([x0[None], knots], axis=0)  # (K, nx)
+        us_seg = us.reshape(K, S, nu)
+        t0s = jnp.arange(K) * S
+
+        def end_of(start, u_seg, t0):
+            xT, _, _ = ms._segment_rollout(start, u_seg, t0)
+            return xT
+
+        def one(start, u_seg, t0):
+            return jax.jacrev(end_of, argnums=(0, 1))(start, u_seg, t0)
+
+        jx, ju = jax.vmap(one)(starts[: K - 1], us_seg[: K - 1], t0s[: K - 1])
+        return jx, ju.reshape(K - 1, nx, S * nu)
+
+    def con_jac(z):
+        jx, ju = seg_jac_blocks(jnp.asarray(z, dtype))
+        jx = np.asarray(jx, np.float64)
+        ju = np.asarray(ju, np.float64)
+        J = np.zeros(((K - 1) * nx, n_u + n_k))
+        eye = np.eye(nx)
+        for k in range(K - 1):
+            r = slice(k * nx, (k + 1) * nx)
+            J[r, k * S * nu : (k + 1) * S * nu] = ju[k]
+            if k >= 1:  # jx[0] differentiates wrt the constant x0: unused
+                J[r, n_u + (k - 1) * nx : n_u + k * nx] = jx[k]
+            J[r, n_u + k * nx : n_u + (k + 1) * nx] = -eye
+        return J
+
+    return con_val, con_jac
 
 
 def solve_slsqp(
@@ -87,16 +150,7 @@ def solve_slsqp(
 
         return jax.value_and_grad(obj)(z)
 
-    @jax.jit
-    def con_val(z):
-        knots, us = unpack(z)
-        _, defects, _ = ms._eval(knots, us, x0)
-        return defects.ravel()
-
-    # exact dense Jacobian of the defects (block-bidiagonal structure; see
-    # module docstring). jacrev: one forward + (K-1)*nx reverse passes,
-    # batched by vmap on device.
-    con_jac = jax.jit(jax.jacrev(con_val))
+    con_val, con_jac = _defect_jacobian_fns(ms, x0, dtype)
 
     # initial knots from the us_init rollout (feasible defects at z0)
     xs_init, _ = _rollout(ms.f, x0, jnp.asarray(us_init, dtype), ms.rc, ms.tc)
@@ -140,7 +194,7 @@ def solve_slsqp(
             dict(
                 type="eq",
                 fun=lambda z: np.asarray(con_val(jnp.asarray(z, dtype)), np.float64),
-                jac=lambda z: np.asarray(con_jac(jnp.asarray(z, dtype)), np.float64),
+                jac=con_jac,
             )
         )
 

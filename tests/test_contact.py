@@ -216,6 +216,97 @@ class TestCylinder:
         assert float(jnp.max(jnp.abs(final.v))) < 1e-6
 
 
+class TestSphereCylinder:
+    """collideCylinderSphere parity (DARTCollide.cpp): true flat-capped
+    cylinder, not the r4 capsule approximation. Pure narrowphase geometry
+    (cylinder at origin, radius 0.1, half-height 0.2; unit-ish sphere)."""
+
+    R = np.eye(3)
+    sc = jnp.asarray([0.1, 0.2, 0.0])  # cylinder (radius, half-height)
+
+    def _call(self, p_sph, r_sph):
+        from diffdart_tpu.collision.narrowphase import sphere_cylinder
+
+        pos, n, depth, valid = sphere_cylinder(
+            jnp.eye(3), jnp.asarray(p_sph, jnp.float64), jnp.asarray([r_sph, 0, 0.0]),
+            jnp.eye(3), jnp.zeros(3), self.sc,
+        )
+        return np.asarray(pos[0]), np.asarray(n[0]), float(depth[0]), bool(valid[0])
+
+    def test_cap_contact(self):
+        # sphere r=0.05 centered 0.24 above the cap plane: depth 0.01, normal +z
+        pos, n, depth, valid = self._call([0.0, 0.0, 0.24], 0.05)
+        assert valid and abs(depth - 0.01) < 1e-12
+        np.testing.assert_allclose(n, [0, 0, 1], atol=1e-12)
+        np.testing.assert_allclose(pos, [0, 0, 0.2], atol=1e-12)  # on the cap
+
+    def test_wall_contact(self):
+        pos, n, depth, valid = self._call([0.14, 0.0, 0.0], 0.05)
+        assert valid and abs(depth - 0.01) < 1e-12
+        np.testing.assert_allclose(n, [1, 0, 0], atol=1e-12)
+        np.testing.assert_allclose(pos, [0.1, 0, 0], atol=1e-12)  # on the wall
+
+    def test_rim_contact_differs_from_capsule(self):
+        """Diagonal approach to the rim edge: the capsule approximation puts
+        the surface 0.1 beyond the cap along the axis; the true cylinder
+        clamps to the rim circle."""
+        c = np.array([0.1, 0.0, 0.2]) + 0.04 / np.sqrt(2) * np.array([1.0, 0.0, 1.0])
+        pos, n, depth, valid = self._call(c, 0.05)
+        assert valid and abs(depth - 0.01) < 1e-9
+        np.testing.assert_allclose(n, [1 / np.sqrt(2), 0, 1 / np.sqrt(2)], atol=1e-9)
+        np.testing.assert_allclose(pos, [0.1, 0, 0.2], atol=1e-9)  # the rim point
+
+    def test_center_inside_pushes_out_nearest_feature(self):
+        # closer to the wall than the caps -> lateral push-out
+        pos, n, depth, valid = self._call([0.08, 0.0, 0.0], 0.05)
+        assert valid and abs(depth - (0.05 + 0.02)) < 1e-12
+        np.testing.assert_allclose(n, [1, 0, 0], atol=1e-12)
+        # closer to the top cap -> axial push-out
+        pos, n, depth, valid = self._call([0.0, 0.0, 0.19], 0.05)
+        assert valid and abs(depth - (0.05 + 0.01)) < 1e-12
+        np.testing.assert_allclose(n, [0, 0, 1], atol=1e-12)
+
+    def test_separated_invalid_and_grad_clean(self):
+        import jax
+
+        _, _, depth, valid = self._call([0.3, 0.0, 0.0], 0.05)
+        assert not valid and depth < 0
+
+        # gradient of depth wrt sphere position is finite everywhere sampled,
+        # including ON the axis above the cap (the NaN-guard case)
+        from diffdart_tpu.collision.narrowphase import sphere_cylinder
+
+        def d_of(p):
+            return sphere_cylinder(
+                jnp.eye(3), p, jnp.asarray([0.05, 0, 0.0]),
+                jnp.eye(3), jnp.zeros(3), self.sc,
+            )[2][0]
+
+        for p in ([0.0, 0.0, 0.24], [0.14, 0.0, 0.0], [0.12, 0.0, 0.22]):
+            g = jax.grad(d_of)(jnp.asarray(p, jnp.float64))
+            assert np.all(np.isfinite(np.asarray(g))), (p, g)
+
+    def test_rolling_sphere_rests_on_cylinder_dynamics(self):
+        """End-to-end: a sphere dropped onto an upright cylinder's cap comes
+        to rest at cap height + sphere radius."""
+        b = ModelBuilder(dt=1e-3)
+        b.add_geom(-1, GeomType.PLANE, friction=0.8)
+        cyl = b.add_body(parent=-1, jtype=JointType.FREE, mass=4.0,
+                         inertia=np.diag([0.05, 0.05, 0.03]))
+        b.add_geom(cyl, GeomType.CYLINDER, size=(0.12, 0.1, 0), friction=0.8)
+        sph = b.add_body(parent=-1, jtype=JointType.FREE, mass=0.2,
+                         inertia=0.001 * np.eye(3))
+        b.add_geom(sph, GeomType.SPHERE, size=(0.04, 0, 0), friction=0.8)
+        m = b.finalize()
+        q0 = m.neutral_q()
+        q0 = q0.at[6].set(0.1)          # cylinder resting on the plane
+        q0 = q0.at[7 + 6].set(0.35)     # sphere above the cap
+        s = make_state(m, q=q0)
+        final, _ = _roll(m, s, 800)
+        assert abs(float(final.q[7 + 6]) - 0.24) < 5e-3  # 0.2 cap + 0.04 r
+        assert float(jnp.max(jnp.abs(final.v))) < 1e-4
+
+
 class TestStacking:
     def test_two_cube_stack_stable(self):
         """box_box: a stacked pair stays stacked (reference collideBoxBox

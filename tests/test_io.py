@@ -229,6 +229,52 @@ class TestSDF:
             s = step(m, s)
         assert np.all(np.isfinite(np.asarray(s.q)))
 
+    def test_static_model_surface_and_ellipsoid(self):
+        """r5 subset widening: <static> models anchor geoms to the world;
+        per-collision <surface> friction/restitution override the defaults;
+        <ellipsoid> parses to GeomType.ELLIPSOID (SdfParser parity)."""
+        from diffdart_tpu.dynamics.model import GeomType
+        from diffdart_tpu.io.sdf import load_sdf_into_builder
+
+        SDF = """
+        <sdf version="1.9"><world name="w">
+          <model name="ground"><static>true</static>
+            <link name="g">
+              <collision name="c">
+                <geometry><plane><normal>0 0 1</normal></plane></geometry>
+                <surface>
+                  <friction><ode><mu>1.25</mu></ode></friction>
+                  <bounce><restitution_coefficient>0.5</restitution_coefficient></bounce>
+                </surface>
+              </collision>
+            </link>
+          </model>
+          <model name="egg">
+            <link name="body">
+              <pose>0 0 0.5 0 0 0</pose>
+              <inertial><mass>1.0</mass>
+                <inertia><ixx>0.01</ixx><iyy>0.01</iyy><izz>0.01</izz></inertia>
+              </inertial>
+              <collision name="e">
+                <geometry><ellipsoid><radii>0.1 0.15 0.2</radii></ellipsoid></geometry>
+              </collision>
+            </link>
+          </model>
+        </world></sdf>"""
+        b = ModelBuilder()
+        load_sdf_into_builder(b, SDF)
+        m = b.finalize()
+        # one dynamic body (the static model contributes no bodies)
+        assert m.nbody == 1 and m.jtype[0] == JointType.FREE
+        gt = np.asarray(m.geom_type)
+        gb = np.asarray(m.geom_body)
+        plane = int(np.nonzero(gt == GeomType.PLANE)[0][0])
+        ell = int(np.nonzero(gt == GeomType.ELLIPSOID)[0][0])
+        assert gb[plane] == -1  # world-anchored
+        np.testing.assert_allclose(float(m.geom_friction[plane]), 1.25)
+        np.testing.assert_allclose(float(m.geom_restitution[plane]), 0.5)
+        np.testing.assert_allclose(np.asarray(m.geom_size[ell]), [0.1, 0.15, 0.2])
+
 
 class TestSkel:
     def test_load_pendulum(self):

