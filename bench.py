@@ -161,7 +161,9 @@ def _run_streaming(args, timeout_s, env=None):
 def _probe_backend():
     """Bounded probe of the ambient (TPU) backend. True if usable."""
     me = os.path.abspath(__file__)
-    for _ in range(2):
+    for attempt in range(2):
+        print(f"# probing TPU backend (attempt {attempt + 1}/2, "
+              f"{_PROBE_TIMEOUT_S}s cap)", flush=True)
         try:
             proc = subprocess.run(
                 [sys.executable, "-u", me, "--probe"],
@@ -170,15 +172,22 @@ def _probe_backend():
                 timeout=_PROBE_TIMEOUT_S,
             )
             if proc.returncode == 0 and "probe-ok" in proc.stdout:
+                print("# probe ok:", proc.stdout.strip().splitlines()[0], flush=True)
                 return True
+            print(f"# probe failed rc={proc.returncode}", flush=True)
         except subprocess.TimeoutExpired:
-            pass
+            print("# probe timed out (axon relay hung at import)", flush=True)
     return False
 
 
 def main() -> None:
     t0 = time.time()
     me = os.path.abspath(__file__)
+    # Never-silent guarantee: the r4 driver run was killed (rc=124) with an
+    # EMPTY tail. Emit a parseable line BEFORE the (up to 2x240 s, silent)
+    # backend probe so a driver timeout at ANY point still captures a line;
+    # every later line supersedes it.
+    _emit(_error_line("bench started; probing backend"))
     try:
         os.remove(_PARTIAL)
     except OSError:

