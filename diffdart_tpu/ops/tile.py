@@ -23,6 +23,8 @@ hierarchy (VPU lanes + VMEM residency), see SURVEY.md §7 redesign notes.
 """
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 from jax import lax
 
@@ -33,11 +35,20 @@ from jax import lax
 # DIRECTLY instead of going through the jnp operator overloads — each jnp
 # binary op routes through a pjit-wrapped ufunc whose cache lookup costs
 # ~250 us at trace time vs ~40 us for a bare lax bind (measured; it cut the
-# nv=30 humanoid hybrid step trace from 143 s to tens of seconds). lax
-# binary ops accept Python-float scalars as weakly-typed constants in both
-# f32 and f64, so const-vs-tile cases need no explicit conversion. The
+# nv=30 humanoid hybrid step trace from 143 s to tens of seconds). The
 # emitted HLO is identical to what the jnp forms produced.
+#
+# Const-vs-tile binds go through _c(): a bare Python float is WEAKLY typed,
+# which lax accepts only when its default dtype matches the tile — under
+# jax_enable_x64 the float becomes weak f64 and lax.sub(1.0, f32_tile)
+# raises. A 0-d numpy array carries an exact dtype, costs nothing at trace
+# time, and folds identically.
 # ---------------------------------------------------------------------------
+
+
+def _c(v, like):
+    """Exact-dtype 0-d constant matching `like`'s dtype (x64-safe)."""
+    return np.asarray(v, dtype=like.dtype)
 
 
 def is_zero(a) -> bool:
@@ -56,9 +67,9 @@ def add(a, b):
     if is_const(a) and is_const(b):
         return float(a) + float(b)
     if is_const(a):
-        return lax.add(b, float(a))
+        return lax.add(b, _c(a, b))
     if is_const(b):
-        return lax.add(a, float(b))
+        return lax.add(a, _c(b, a))
     return lax.add(a, b)
 
 
@@ -70,9 +81,9 @@ def sub(a, b):
     if is_const(a) and is_const(b):
         return float(a) - float(b)
     if is_const(a):
-        return lax.sub(float(a), b)
+        return lax.sub(_c(a, b), b)
     if is_const(b):
-        return lax.sub(a, float(b))
+        return lax.sub(a, _c(b, a))
     return lax.sub(a, b)
 
 
@@ -90,9 +101,9 @@ def mul(a, b):
     if is_const(a) and is_const(b):
         return float(a) * float(b)
     if is_const(a):
-        return b if float(a) == 1.0 else lax.mul(b, float(a))
+        return b if float(a) == 1.0 else lax.mul(b, _c(a, b))
     if is_const(b):
-        return a if float(b) == 1.0 else lax.mul(a, float(b))
+        return a if float(b) == 1.0 else lax.mul(a, _c(b, a))
     return lax.mul(a, b)
 
 
@@ -106,9 +117,9 @@ def div(a, b):
     if is_const(a) and is_const(b):
         return float(a) / float(b)
     if is_const(a):
-        return lax.div(float(a), b)
+        return lax.div(_c(a, b), b)
     if is_const(b):
-        return lax.div(a, float(b))
+        return lax.div(a, _c(b, a))
     return lax.div(a, b)
 
 
@@ -135,9 +146,9 @@ def maximum(a, b):
     if is_const(aa) and is_const(bb):
         return max(float(aa), float(bb))
     if is_const(aa):
-        return lax.max(bb, float(aa))
+        return lax.max(bb, _c(aa, bb))
     if is_const(bb):
-        return lax.max(aa, float(bb))
+        return lax.max(aa, _c(bb, aa))
     return lax.max(aa, bb)
 
 
@@ -147,16 +158,18 @@ def minimum(a, b):
     if is_const(aa) and is_const(bb):
         return min(float(aa), float(bb))
     if is_const(aa):
-        return lax.min(bb, float(aa))
+        return lax.min(bb, _c(aa, bb))
     if is_const(bb):
-        return lax.min(aa, float(bb))
+        return lax.min(aa, _c(bb, aa))
     return lax.min(aa, bb)
 
 
-def where(c, a, b):
+def where(c, a, b, like=None):
     aa = 0.0 if a is None else a
     bb = 0.0 if b is None else b
     if is_const(aa) and is_const(bb):
+        if like is not None:  # pin dtype: bare floats go weak-f64 under x64
+            return jnp.where(c, _c(aa, like), _c(bb, like))
         return jnp.where(c, aa, bb)  # dtype from context; rare, keep jnp
     # lax.select needs equal-shaped branches: materialize the const side
     if is_const(aa):
@@ -192,7 +205,8 @@ def clip(x, lo, hi):
 
 def gt0(a, like):
     """a > 0 as a bool tile (None/const folded against `like`'s shape)."""
-    return lax.gt(materialize(a, like), 0.0)
+    x = materialize(a, like)
+    return lax.gt(x, _c(0.0, x))
 
 
 # ---------------------------------------------------------------------------

@@ -1007,8 +1007,8 @@ def _tile_lcp(J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters, pa
         lam_m = [T.materialize(x, zero_like) for x in lam]
         free, fr_bound, s_sign, pin_val = [], [], [], []
         for i in range(D):
-            sc = lax.max(lax.abs(lam_m[i]), 1.0)
-            tol_sc = lax.mul(sc, _TOL)
+            sc = lax.max(lax.abs(lam_m[i]), T._c(1.0, lam_m[i]))
+            tol_sc = lax.mul(sc, T._c(_TOL, sc))
             if is_fr[i]:
                 bound = T.materialize(T.mul(mu_row[i], lam[fidx[i]]), zero_like)
                 at_lo = lax.le(lam_m[i], lax.sub(tol_sc, bound))
@@ -1033,7 +1033,7 @@ def _tile_lcp(J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters, pa
                 # constant box [-c, +c]: at-bound rows pin to +-c (nonzero!),
                 # entering the KKT rhs as cfm*c_pin (see S-system note below)
                 cb = float(box_c[i])
-                at_lo = lax.le(lam_m[i], lax.sub(tol_sc, cb))
+                at_lo = lax.le(lam_m[i], lax.sub(tol_sc, T._c(cb, tol_sc)))
                 at_hi = lax.ge(lam_m[i], lax.sub(lax.full_like(zero_like, cb), tol_sc))
                 degen = lax.bitwise_and(at_lo, at_hi)
                 free.append(_andv(
@@ -1049,16 +1049,16 @@ def _tile_lcp(J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters, pa
                     lax.bitwise_and(lax.bitwise_or(at_lo, at_hi), lax.bitwise_not(degen)),
                     i,
                 )
-                pin_val.append(T.mul(T.mul(T.where(pinned, 1.0, None), sgn), cb))
+                pin_val.append(T.mul(T.mul(T.where(pinned, 1.0, None, like=zero_like), sgn), cb))
             else:
                 at_lo = lax.le(lam_m[i], tol_sc)
                 free.append(_andv(lax.bitwise_not(at_lo), i))
                 fr_bound.append(None)
                 s_sign.append(None)
                 pin_val.append(None)
-        Ffloat = [T.where(free[i], 1.0, None) for i in range(D)]
+        Ffloat = [T.where(free[i], 1.0, None, like=zero_like) for i in range(D)]
         fbm = [
-            T.mul(T.mul(T.where(fr_bound[i], 1.0, None), s_sign[i]), mu_row[i])
+            T.mul(T.mul(T.where(fr_bound[i], 1.0, None, like=zero_like), s_sign[i]), mu_row[i])
             if is_fr[i]
             else None
             for i in range(D)
@@ -1169,7 +1169,7 @@ def _tile_lcp(J_rows, b_vec, valid, mu_row, fidx, M, Minv, nv, D, cfm, iters, pa
         finite,
         lax_.le(
             T.materialize(drift, zero_like),
-            lax_.mul(lax_.add(best_res, 1.0), 1e-5),
+            lax_.mul(lax_.add(best_res, T._c(1.0, best_res)), T._c(1e-5, best_res)),
         ),
     )
     safe_in = [lax_.select(ok, b_, lax_.full_like(b_, 0.0)) for b_ in best]
